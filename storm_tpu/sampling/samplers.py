@@ -1,0 +1,220 @@
+"""On-device diffusion samplers.
+
+The reference PC sampler is a host-driven Python loop launching fresh GPU
+kernels every reverse step (sgmse/sampling/__init__.py:54-66) and its ODE
+sampler round-trips device<->numpy on every RHS eval (__init__.py:119-123).
+Here both are single `lax.scan` programs: one compiled executable runs all
+N steps on device with zero host round-trips — the key TPU perf win.
+
+Semantics (timestep grid, prior, step rules, NFE accounting) match the
+reference exactly; see predictors.py / correctors.py for the step math.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .correctors import CorrectorRegistry
+from .predictors import PredictorRegistry
+
+
+def pc_sample(
+    key,
+    sde,
+    score_fn: Callable,
+    y,
+    predictor: str = "reverse_diffusion",
+    corrector: str = "ald",
+    N: Optional[int] = None,
+    snr: float = 0.5,
+    corrector_steps: int = 1,
+    probability_flow: bool = False,
+    denoise: bool = True,
+    eps: float = 3e-2,
+    intermediate: bool = False,
+):
+    """Predictor-corrector sampling as a single `lax.scan`.
+
+    Args:
+        key: PRNG key.
+        sde: forward SDE (OUVE/OUVP dataclass).
+        score_fn: `(x, t, y) -> score`, packed-real in/out. Conditioning
+            beyond the SDE input `y` must be closed over.
+        y: SDE steady-state input, packed-real (B, ..., 2).
+        N: reverse steps (overrides sde.N like the reference's sde.copy()).
+        denoise: return the noise-free mean of the final predictor step.
+        intermediate: additionally return the (N, ...) trajectory of means.
+
+    Returns:
+        (x, nfe) — or (x, trajectory, nfe) if intermediate.
+    """
+    if N is not None and N != sde.N:
+        sde = sde.copy(N=N)
+    n = sde.N
+    predictor_fn = PredictorRegistry.get_by_name(predictor)
+    corrector_fn = CorrectorRegistry.get_by_name(corrector)
+    rsde = sde.reverse(score_fn, probability_flow=probability_flow)
+
+    key, kprior = jax.random.split(key)
+    xT = sde.prior_sampling(kprior, y)
+    timesteps = jnp.linspace(sde.T, eps, n, dtype=jnp.float32)
+    batch = y.shape[0]
+
+    def step(carry, t):
+        x, _, k = carry
+        k, kc, kp = jax.random.split(k, 3)
+        vec_t = jnp.full((batch,), t, dtype=jnp.float32)
+        x, x_mean = corrector_fn(
+            sde, score_fn, x, vec_t, y, kc, snr, corrector_steps
+        )
+        x, x_mean = predictor_fn(rsde, x, vec_t, y, kp)
+        out = x_mean if intermediate else None
+        return (x, x_mean, k), out
+
+    (x, x_mean, _), traj = jax.lax.scan(step, (xT, xT, key), timesteps)
+    x_result = x_mean if denoise else x
+    nfe = n * (corrector_steps * (corrector != "none") + 1)
+    if intermediate:
+        return x_result, traj, nfe
+    return x_result, nfe
+
+
+def ode_sample(
+    key,
+    sde,
+    score_fn: Callable,
+    y,
+    N: Optional[int] = None,
+    method: str = "heun",
+    denoise: bool = True,
+    eps: float = 3e-2,
+    **ignored_kwargs,
+):
+    """Probability-flow ODE sampling, fully on device.
+
+    The reference bridges to scipy RK45 on the host (structurally host-bound,
+    sgmse/sampling/__init__.py:71-141); the TPU-native equivalent integrates
+    the same ODE with a fixed-step 2nd-order Heun (or Euler / 4th-order RK)
+    scheme inside one `lax.scan`, then applies the same final one-step
+    denoise via the reverse-diffusion predictor.
+
+    Returns:
+        (x, nfe)
+    """
+    if N is not None and N != sde.N:
+        sde = sde.copy(N=N)
+    n = sde.N
+    rsde = sde.reverse(score_fn, probability_flow=True)
+    batch = y.shape[0]
+
+    key, kprior = jax.random.split(key)
+    x0 = sde.prior_sampling(kprior, y)
+    ts = jnp.linspace(sde.T, eps, n + 1, dtype=jnp.float32)
+
+    def drift(x, t):
+        vec_t = jnp.full((batch,), t, dtype=jnp.float32)
+        return rsde.sde(x, vec_t, y)[0]
+
+    if method == "euler":
+        nfe_per_step = 1
+
+        def step(x, i):
+            t0, t1 = ts[i], ts[i + 1]
+            dt = t1 - t0
+            return x + dt * drift(x, t0), None
+
+    elif method == "heun":
+        nfe_per_step = 2
+
+        def step(x, i):
+            t0, t1 = ts[i], ts[i + 1]
+            dt = t1 - t0
+            d0 = drift(x, t0)
+            x_pred = x + dt * d0
+            d1 = drift(x_pred, t1)
+            return x + dt * 0.5 * (d0 + d1), None
+
+    elif method == "rk4":
+        nfe_per_step = 4
+
+        def step(x, i):
+            t0, t1 = ts[i], ts[i + 1]
+            dt = t1 - t0
+            tm = t0 + 0.5 * dt
+            k1 = drift(x, t0)
+            k2 = drift(x + 0.5 * dt * k1, tm)
+            k3 = drift(x + 0.5 * dt * k2, tm)
+            k4 = drift(x + dt * k3, t1)
+            return x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4), None
+
+    else:
+        raise ValueError(f"Unknown ODE method {method!r}")
+
+    x, _ = jax.lax.scan(step, x0, jnp.arange(n))
+    nfe = n * nfe_per_step
+
+    if denoise:
+        # One reverse-diffusion predictor step without noise
+        # (sgmse/sampling/__init__.py:97-100, 133-135).
+        from .predictors import reverse_diffusion_update
+
+        rsde_d = sde.reverse(score_fn, probability_flow=False)
+        vec_eps = jnp.full((batch,), eps, dtype=jnp.float32)
+        _, x = reverse_diffusion_update(
+            rsde_d, x, vec_eps, y, jax.random.PRNGKey(0)
+        )
+        nfe += 1
+    return x, nfe
+
+
+def get_pc_sampler(predictor_name, corrector_name, sde, score_fn, y, **kwargs):
+    """Closure-style API mirroring the reference `get_pc_sampler`
+    (sgmse/sampling/__init__.py:27-68). The returned callable takes a PRNG
+    key (JAX has no global RNG state)."""
+
+    def sampler(key):
+        return pc_sample(
+            key,
+            sde,
+            score_fn,
+            y,
+            predictor=predictor_name,
+            corrector=corrector_name,
+            **{
+                k: v
+                for k, v in kwargs.items()
+                if k
+                in (
+                    "N",
+                    "snr",
+                    "corrector_steps",
+                    "probability_flow",
+                    "denoise",
+                    "eps",
+                    "intermediate",
+                )
+            },
+        )
+
+    return sampler
+
+
+def get_ode_sampler(sde, score_fn, y, **kwargs):
+    """Closure-style API mirroring the reference `get_ode_sampler`."""
+
+    def sampler(key):
+        return ode_sample(
+            key,
+            sde,
+            score_fn,
+            y,
+            **{
+                k: v
+                for k, v in kwargs.items()
+                if k in ("N", "method", "denoise", "eps")
+            },
+        )
+
+    return sampler

@@ -1,0 +1,101 @@
+"""Benchmark harness: StoRM enhancement throughput on one chip.
+
+Primary metric (BASELINE.md): audio-seconds enhanced per wall-clock second
+per chip at 50-step PC sampling with the reference CLI defaults
+(reverse-diffusion predictor + 1 ald corrector step -> NFE=101 NCSN++
+forwards per utterance, enhancement.py:33-36).
+
+`vs_baseline` is the ratio against the driver's north-star target of
+10x real-time per chip (BASELINE.json).
+
+Prints ONE JSON line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=256,
+                    help="STFT frames per utterance (256 ~ 2.04 s)")
+    ap.add_argument("--N", type=int, default=50, help="reverse steps")
+    ap.add_argument("--corrector", default="ald")
+    ap.add_argument("--corrector-steps", type=int, default=1)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    from storm_tpu.models import StochasticRegenerationModel
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = StochasticRegenerationModel.create(
+        backbone_denoiser="ncsnpp", backbone_score="ncsnpp", sde="ouve",
+        dtype=dtype,
+    )
+
+    sr = 16000
+    hop = model.stft_config.hop_length
+    num_samples = (args.frames - 1) * hop  # reference crop formula
+    audio_sec = args.batch * num_samples / sr
+
+    params = model.init_params(jax.random.PRNGKey(0), (1, 256, 64))
+    y = jnp.asarray(
+        np.random.default_rng(0).standard_normal((args.batch, num_samples))
+        * 0.1,
+        jnp.float32,
+    )
+    key = jax.random.PRNGKey(1)
+
+    enhance = model.make_enhance(
+        num_samples,
+        N=args.N,
+        corrector=args.corrector,
+        corrector_steps=args.corrector_steps,
+    )
+
+    # compile + warmup. NOTE: block_until_ready does not reliably block on
+    # the tunneled backend — synchronize via an explicit device->host
+    # transfer instead.
+    x_hat, nfe = enhance(params, y, key)
+    _ = np.asarray(x_hat)
+
+    times = []
+    for i in range(args.reps):
+        k = jax.random.PRNGKey(i + 2)
+        t0 = time.perf_counter()
+        x_hat, nfe = enhance(params, y, k)
+        _ = np.asarray(x_hat)
+        times.append(time.perf_counter() - t0)
+
+    wall = min(times)
+    value = audio_sec / wall  # audio-sec per second per chip
+    target = 10.0  # north-star: >=10x real-time per chip
+    print(json.dumps({
+        "metric": "audio_sec_per_sec_per_chip_50step_pc",
+        "value": round(value, 2),
+        "unit": "audio-sec/s/chip",
+        "vs_baseline": round(value / target, 3),
+        "detail": {
+            "batch": args.batch,
+            "utt_sec": round(num_samples / sr, 3),
+            "N": args.N,
+            "nfe": int(nfe),
+            "wall_s": round(wall, 4),
+            "rtf_inv": round(value / args.batch, 2),
+            "dtype": args.dtype,
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

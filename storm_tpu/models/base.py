@@ -1,0 +1,94 @@
+"""Model-layer foundations: train state, EMA, optimizer, spec<->wav plumbing.
+
+Functional JAX re-design of the reference Lightning-module layer
+(sgmse/model.py). Instead of stateful modules, each model is a static config
+object whose methods return pure functions over an explicit `TrainState`
+pytree; `train_step` is one jitted program (loss + grads + Adam + EMA), and
+`enhance` is one jitted program (STFT -> denoiser -> scan sampler -> iSTFT).
+
+EMA matches torch-ema semantics (used at sgmse/model.py:55, 80-83): shadow
+parameters updated after every optimizer step with warmup
+`decay_t = min(decay, (1+n)/(10+n))`, and evaluation runs with the shadow
+(EMA) parameters swapped in — here simply `state.ema_params`.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..signal.stft import STFTConfig, istft_real, stft_real
+from ..signal.transforms import SpecTransform, pad_spec
+
+
+@flax.struct.dataclass
+class TrainState:
+    """Replicated training state: {params, ema_params, opt_state, step}."""
+
+    step: jnp.ndarray
+    params: Any
+    ema_params: Any
+    opt_state: Any
+
+
+def ema_update(ema_params, params, decay: float, step):
+    """torch-ema shadow update with warmup (`use_num_updates=True`)."""
+    num = step.astype(jnp.float32)
+    decay_t = jnp.minimum(decay, (1.0 + num) / (10.0 + num))
+    return jax.tree.map(
+        lambda e, p: decay_t * e + (1.0 - decay_t) * p, ema_params, params
+    )
+
+
+def make_optimizer(lr: float) -> optax.GradientTransformation:
+    """Adam with the reference defaults (sgmse/model.py:77-79: lr only)."""
+    return optax.adam(lr)
+
+
+def init_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        ema_params=jax.tree.map(jnp.copy, params),
+        opt_state=tx.init(params),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared wav <-> compressed-spec plumbing (device-side, jit-safe)
+# ---------------------------------------------------------------------------
+
+def wav_to_spec(y, stft_config: STFTConfig, transform: SpecTransform):
+    """(B, T) waveform -> compressed packed-real spec (B, F, Tf, 2)."""
+    return transform.forward_packed(stft_real(y, stft_config))
+
+
+def spec_to_wav(spec, stft_config: STFTConfig, transform: SpecTransform,
+                length: Optional[int] = None):
+    """Compressed packed-real spec (B, F, Tf, 2) -> (B, T) waveform.
+
+    Mirrors `to_audio = istft(spec_back(.))` (sgmse/model.py:259-260)."""
+    return istft_real(transform.backward_packed(spec), stft_config, length=length)
+
+
+def normalize_wav(y):
+    """Per-utterance max-abs normalization (sgmse/model.py:730-731).
+
+    Returns (y_normalized, norm_factor) with norm_factor shaped (B, 1).
+    """
+    norm = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    norm = jnp.maximum(norm, 1e-10)
+    return y / norm, norm
+
+
+def prepare_spec(y, stft_config: STFTConfig, transform: SpecTransform,
+                 multiple: int = 64):
+    """wav (B, T) -> (Y_padded, num_frames_orig): compressed spec with the
+    time-frame axis zero-padded to a multiple of 64 (sgmse/model.py:732-733;
+    util/other.py:102-109)."""
+    Y = wav_to_spec(y, stft_config, transform)
+    t_orig = Y.shape[-2]
+    return pad_spec(Y, multiple=multiple, axis=-2), t_orig

@@ -1,0 +1,146 @@
+"""DiscriminativeModel: direct predictive denoiser training.
+
+Functional re-design of the reference `DiscriminativeModel`
+(sgmse/model.py:320-373): the backbone is run as a plain denoiser
+`x_hat = dnn(y, t=1)` with MSE/MAE/SI-SDR losses; its trained parameters can
+be grafted into a StoRM model as the first-stage denoiser.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..backbones import BackboneRegistry
+from ..signal import cplx
+from ..signal.stft import STFTConfig
+from ..signal.transforms import SpecTransform
+from .base import (
+    TrainState,
+    ema_update,
+    init_train_state,
+    make_optimizer,
+    normalize_wav,
+    prepare_spec,
+    spec_to_wav,
+)
+
+
+def si_sdr_jax(s, s_hat, eps: float = 1e-8):
+    """Scale-invariant SDR of flattened signals (util/other.py:82-94)."""
+    s = s.reshape(-1)
+    s_hat = s_hat.reshape(-1)
+    alpha = jnp.dot(s_hat, s) / (jnp.dot(s, s) + eps)
+    e_target = alpha * s
+    e_res = s_hat - e_target
+    return 10.0 * jnp.log10(
+        (jnp.sum(e_target**2) + eps) / (jnp.sum(e_res**2) + eps)
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscriminativeModel:
+    dnn: Any  # flax module with discriminative=True
+    stft_config: STFTConfig = STFTConfig()
+    transform: SpecTransform = SpecTransform()
+    lr: float = 1e-4
+    ema_decay: float = 0.999
+    loss_type: str = "mse"
+
+    @classmethod
+    def create(
+        cls,
+        backbone: str = "ncsnpp",
+        lr: float = 1e-4,
+        ema_decay: float = 0.999,
+        loss_type: str = "mse",
+        stft_config: STFTConfig = STFTConfig(),
+        transform: SpecTransform = SpecTransform(),
+        **backbone_kwargs,
+    ) -> "DiscriminativeModel":
+        dnn_cls = BackboneRegistry.get_by_name(backbone)
+        dnn = dnn_cls.from_kwargs(discriminative=True, **backbone_kwargs)
+        return cls(
+            dnn=dnn, lr=lr, ema_decay=ema_decay, loss_type=loss_type,
+            stft_config=stft_config, transform=transform,
+        )
+
+    def init_params(self, key, spec_shape: Tuple[int, ...]):
+        B, F, T = spec_shape
+        y = jnp.zeros((B, 1, F, T, 2), jnp.float32)
+        t = jnp.ones((B,), jnp.float32)
+        return self.dnn.init(key, y, t)["params"]
+
+    def init_state(self, key, spec_shape=(1, 256, 64)) -> TrainState:
+        return init_train_state(
+            self.init_params(key, spec_shape), make_optimizer(self.lr)
+        )
+
+    def apply(self, params, Y, train: bool = False, rng=None):
+        """x_hat = dnn(y, t=1) (sgmse/model.py:322-327). Y: (B, F, T, 2)."""
+        t = jnp.ones((Y.shape[0],), jnp.float32)
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        out = self.dnn.apply(
+            {"params": params}, Y[:, None], t, train=train, rngs=rngs
+        )
+        return out[:, 0]
+
+    def loss_fn(self, params, key, batch, train: bool = True):
+        x, y = batch
+        x_hat = self.apply(params, y, train=train, rng=key)
+        B = x.shape[0]
+        diff = x - x_hat
+        if self.loss_type == "mse":
+            loss = jnp.mean(0.5 * jnp.sum(jnp.square(diff).reshape(B, -1), -1))
+        elif self.loss_type == "mae":
+            loss = jnp.mean(0.5 * jnp.sum(cplx.cabs(diff).reshape(B, -1), -1))
+        elif self.loss_type == "sisdr":
+            loss = -jnp.mean(
+                jax.vmap(si_sdr_jax)(
+                    x.reshape(B, -1), x_hat.reshape(B, -1)
+                )
+            )
+        else:
+            raise NotImplementedError(self.loss_type)
+        return loss, {"loss": loss}
+
+    def make_train_step(self, donate: bool = True):
+        tx = make_optimizer(self.lr)
+
+        def train_step(state: TrainState, batch, key):
+            (loss, aux), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True
+            )(state.params, key, batch, True)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            step = state.step + 1
+            ema_params = ema_update(state.ema_params, params, self.ema_decay, step)
+            return (
+                TrainState(step=step, params=params,
+                           ema_params=ema_params, opt_state=opt_state),
+                aux,
+            )
+
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    def make_enhance(self, num_samples: int = 0, **ignored_kwargs):
+        """Single-pass enhancement (sgmse/model.py:345-363), jitted."""
+        del num_samples
+
+        @jax.jit
+        def enhance(params, y, key):
+            del key
+            T_orig = y.shape[-1]
+            y_n, norm = normalize_wav(y)
+            Y, t_frames = prepare_spec(y_n, self.stft_config, self.transform)
+            X_hat = self.apply(params, Y)
+            X_hat = X_hat[..., :t_frames, :]
+            x_hat = spec_to_wav(
+                X_hat, self.stft_config, self.transform, length=T_orig
+            )
+            return x_hat * norm, 1
+
+        return enhance

@@ -1,0 +1,221 @@
+"""ScoreModel: score-only training (SGMSE+) and enhancement.
+
+Functional re-design of the reference `ScoreModel` (sgmse/model.py:24-310):
+the backbone scores `x_t` conditioned on the noisy spec `y` (4 input
+channels), trained by denoising score matching against an OU SDE whose
+steady state is `y`. Sampling runs as a single on-device `lax.scan`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..backbones import BackboneRegistry
+from ..sampling.samplers import ode_sample, pc_sample
+from ..sde.sdes import SDERegistry
+from ..signal import cplx
+from ..signal.stft import STFTConfig
+from ..signal.transforms import SpecTransform
+from ..utils.tensors import right_pad_dims
+from .base import (
+    TrainState,
+    ema_update,
+    init_train_state,
+    make_optimizer,
+    normalize_wav,
+    prepare_spec,
+    spec_to_wav,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ScoreModel:
+    """Static model config bundling backbone, SDE and signal transforms."""
+
+    dnn: Any  # flax module (score backbone, input_channels=4)
+    sde: Any  # OUVE/OUVP dataclass
+    stft_config: STFTConfig = STFTConfig()
+    transform: SpecTransform = SpecTransform()
+    lr: float = 1e-4
+    ema_decay: float = 0.999
+    t_eps: float = 0.03
+    loss_type: str = "mse"
+
+    @classmethod
+    def create(
+        cls,
+        backbone: str = "ncsnpp",
+        sde: str = "ouve",
+        lr: float = 1e-4,
+        ema_decay: float = 0.999,
+        t_eps: float = 0.03,
+        loss_type: str = "mse",
+        stft_config: STFTConfig = STFTConfig(),
+        transform: SpecTransform = SpecTransform(),
+        **backbone_kwargs,
+    ) -> "ScoreModel":
+        """Mirror of the reference ctor wiring (sgmse/model.py:44-52):
+        backbone gets input_channels=4 (x_t and y as complex channels)."""
+        dnn_cls = BackboneRegistry.get_by_name(backbone)
+        dnn = dnn_cls.from_kwargs(input_channels=4, **backbone_kwargs)
+        sde_cls = SDERegistry.get_by_name(sde)
+        sde_fields = {f.name for f in dataclasses.fields(sde_cls) if f.init}
+        sde_obj = sde_cls(
+            **{k: v for k, v in backbone_kwargs.items() if k in sde_fields}
+        )
+        return cls(
+            dnn=dnn, sde=sde_obj, lr=lr, ema_decay=ema_decay, t_eps=t_eps,
+            loss_type=loss_type, stft_config=stft_config, transform=transform,
+        )
+
+    # --- parameters -------------------------------------------------------
+
+    def init_params(self, key, spec_shape: Tuple[int, ...]):
+        """spec_shape: (B, F, T) of a single compressed spec (D=1)."""
+        B, F, T = spec_shape
+        x = jnp.zeros((B, 2, F, T, 2), jnp.float32)  # [x_t, y]
+        t = jnp.ones((B,), jnp.float32)
+        return self.dnn.init(key, x, t)["params"]
+
+    def init_state(self, key, spec_shape=(1, 256, 64)) -> TrainState:
+        return init_train_state(
+            self.init_params(key, spec_shape), make_optimizer(self.lr)
+        )
+
+    # --- forward ----------------------------------------------------------
+
+    def score_apply(self, params, x, t, y, train: bool = False, rng=None):
+        """score = -dnn(cat[x, y], t) (sgmse/model.py:130-136).
+
+        x, y: (B, F, T, 2) packed-real compressed specs.
+        """
+        dnn_input = jnp.stack([x, y], axis=1)  # (B, 2, F, T, 2)
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        out = self.dnn.apply(
+            {"params": params}, dnn_input, t, train=train, rngs=rngs
+        )
+        return -out[:, 0]  # (B, F, T, 2)
+
+    # --- loss / training --------------------------------------------------
+
+    def _err_loss(self, err):
+        """mse: mean_b(0.5 * sum |err|^2); mae likewise on |err|
+        (sgmse/model.py:113-124)."""
+        B = err.shape[0]
+        if self.loss_type == "mse":
+            per = 0.5 * jnp.sum(jnp.square(err).reshape(B, -1), axis=-1)
+        elif self.loss_type == "mae":
+            per = 0.5 * jnp.sum(cplx.cabs(err).reshape(B, -1), axis=-1)
+        else:
+            raise NotImplementedError(self.loss_type)
+        return jnp.mean(per)
+
+    def loss_fn(self, params, key, batch, train: bool = True):
+        """Denoising score-matching loss (sgmse/model.py:138-154)."""
+        x, y = batch  # compressed specs (B, F, T, 2)
+        kt, kz, kd = jax.random.split(key, 3)
+        B = x.shape[0]
+        t = (
+            jax.random.uniform(kt, (B,), jnp.float32)
+            * (self.sde.T - self.t_eps)
+            + self.t_eps
+        )
+        mean, std = self.sde.marginal_prob(x, t, y)
+        z = cplx.complex_normal(kz, x.shape[:-1])
+        sigmas = right_pad_dims(std, x)
+        perturbed = mean + sigmas * z
+        score = self.score_apply(params, perturbed, t, y, train=train, rng=kd)
+        err = score * sigmas + z
+        loss = self._err_loss(err)
+        return loss, {"loss": loss}
+
+    def make_train_step(self, donate: bool = True):
+        """One jitted optimizer step incl. EMA (sgmse/model.py:80-83)."""
+        tx = make_optimizer(self.lr)
+
+        def train_step(state: TrainState, batch, key):
+            (loss, aux), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True
+            )(state.params, key, batch, True)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            step = state.step + 1
+            ema_params = ema_update(state.ema_params, params, self.ema_decay, step)
+            return (
+                TrainState(
+                    step=step, params=params,
+                    ema_params=ema_params, opt_state=opt_state,
+                ),
+                aux,
+            )
+
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    # --- enhancement ------------------------------------------------------
+
+    def make_enhance(
+        self,
+        num_samples: int,
+        sampler_type: str = "pc",
+        predictor: str = "reverse_diffusion",
+        corrector: str = "ald",
+        N: int = 50,
+        corrector_steps: int = 1,
+        snr: float = 0.5,
+        probability_flow: bool = False,
+        **kwargs,
+    ):
+        """Build a jitted enhancement program for a fixed utterance length.
+
+        Equivalent of `ScoreModel.enhance` (sgmse/model.py:273-310) but fully
+        on device: normalize -> STFT -> compress -> pad -> scan-sampler ->
+        decompress -> iSTFT -> denormalize, one compiled executable.
+
+        Returns `enhance(params, y, key) -> (x_hat, nfe)` for y (B, T).
+        """
+        del num_samples  # length is bound at trace time from y.shape
+
+        @jax.jit
+        def enhance(params, y, key):
+            T_orig = y.shape[-1]
+            y_n, norm = normalize_wav(y)
+            Y, t_frames = prepare_spec(y_n, self.stft_config, self.transform)
+
+            def score_fn(x, t, y_sde):
+                return self.score_apply(params, x, t, y_sde)
+
+            if sampler_type == "pc":
+                sample, nfe = pc_sample(
+                    key,
+                    self.sde,
+                    score_fn,
+                    Y,
+                    predictor=predictor,
+                    corrector=corrector,
+                    N=N,
+                    snr=snr,
+                    corrector_steps=corrector_steps,
+                    probability_flow=probability_flow,
+                    denoise=True,
+                    eps=self.t_eps,
+                )
+            elif sampler_type == "ode":
+                sample, nfe = ode_sample(
+                    key, self.sde, score_fn, Y, N=N, eps=self.t_eps, **kwargs
+                )
+            else:
+                raise ValueError(f"{sampler_type} is not a valid sampler type!")
+
+            sample = sample[..., :t_frames, :]
+            x_hat = spec_to_wav(
+                sample, self.stft_config, self.transform, length=T_orig
+            )
+            return x_hat * norm, nfe
+
+        return enhance
+

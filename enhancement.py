@@ -1,0 +1,95 @@
+"""File-to-file enhancement CLI.
+
+Same flag surface as the reference enhancement.py:25-72 (which, as
+committed, has NameErrors — tqdm.tqdm/torchaudio.load after from-imports;
+this CLI just works). Enhancement runs through the model's jitted program
+with a bucketed compile cache for variable-length utterances; EMA (shadow)
+parameters are used, like `model.eval(no_ema=False)` in the reference.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--test_dir", type=str, required=True,
+                        help="Directory containing corrupted .wav files to enhance.")
+    parser.add_argument("--enhanced_dir", type=str, required=True,
+                        help="Where to write the cleaned files.")
+    parser.add_argument("--ckpt", type=str, required=True,
+                        help="Checkpoint directory (from train.py).")
+    parser.add_argument("--mode", required=True,
+                        choices=["score-only", "denoiser-only", "storm"])
+    parser.add_argument("--corrector", type=str,
+                        choices=("ald", "langevin", "none"), default="ald")
+    parser.add_argument("--corrector-steps", dest="corrector_steps",
+                        type=int, default=1)
+    parser.add_argument("--snr", type=float, default=0.5)
+    parser.add_argument("--N", type=int, default=50)
+    parser.add_argument("--no-ema", action="store_true",
+                        help="use raw instead of EMA parameters")
+    parser.add_argument("--timeit", action="store_true",
+                        help="report RTF per file")
+    args = parser.parse_args()
+
+    import jax
+    import numpy as np
+
+    from storm_tpu.ckpt import load_checkpoint
+    from storm_tpu.data.audio import load_wav, save_wav
+    from storm_tpu.models.factory import build_model
+    from storm_tpu.utils.inference import BucketedEnhancer
+
+    os.makedirs(args.enhanced_dir, exist_ok=True)
+    model_sr = 16000
+
+    config, state = load_checkpoint(args.ckpt)
+    # CLI --mode overrides/validates the checkpoint's training mode
+    ckpt_mode = config.get("mode", "regen-joint-training")
+    expected = {"storm": ("regen-joint-training", "regen-freeze-denoiser"),
+                "score-only": ("score-only",),
+                "denoiser-only": ("denoiser-only",)}[args.mode]
+    if ckpt_mode not in expected:
+        raise SystemExit(
+            f"--mode {args.mode} incompatible with checkpoint mode {ckpt_mode}"
+        )
+    model = build_model(dict(config))
+    params = state.params if args.no_ema else state.ema_params
+
+    enhancer = BucketedEnhancer(
+        model, params,
+        corrector=args.corrector, corrector_steps=args.corrector_steps,
+        snr=args.snr, N=args.N,
+    )
+
+    noisy_files = sorted(glob.glob(os.path.join(args.test_dir, "*.wav")))
+    if not noisy_files:
+        raise SystemExit(f"no .wav files in {args.test_dir}")
+
+    key = jax.random.PRNGKey(0)
+    for f in noisy_files:
+        y, sample_sr = load_wav(f)
+        assert sample_sr == model_sr, (
+            "You need to make sure sample_sr matches model_sr "
+            "--> resample to 16kHz"
+        )
+        key, k = jax.random.split(key)
+        t0 = time.perf_counter()
+        x_hat, nfe = enhancer(y[0], k)
+        x_hat = np.asarray(x_hat)
+        elapsed = time.perf_counter() - t0
+        out = os.path.join(args.enhanced_dir, os.path.basename(f))
+        save_wav(out, x_hat, model_sr)
+        if args.timeit:
+            rtf = elapsed / (len(x_hat) / model_sr)
+            print(f"{os.path.basename(f)}: nfe={nfe} rtf={rtf:.4f}")
+        else:
+            print(os.path.basename(f))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Batching iterator with background-thread prefetch.
+
+Replaces the reference's torch DataLoader worker pools
+(sgmse/data_module.py:246-265). Host work per item is tiny (wav read +
+crop), so a small thread pool with double-buffered prefetch keeps the one
+host core busy while the device computes; the STFT itself runs on device.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    """Iterates (x, y) numpy batches of shape (B, C, T) -> squeezed (B, T)
+    when spatial_channels == 1."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 8,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        seed: int = 0,
+        squeeze_channels: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.rng = np.random.default_rng(seed)
+        self.squeeze_channels = squeeze_channels
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _collate(self, items):
+        xs = np.stack([it[0] for it in items])
+        ys = np.stack([it[1] for it in items])
+        if self.squeeze_channels and xs.ndim == 3 and xs.shape[1] == 1:
+            xs, ys = xs[:, 0], ys[:, 0]
+        extras = [it[2:] for it in items if len(it) > 2]
+        if extras:
+            return (xs, ys) + tuple(zip(*extras))
+        return xs, ys
+
+    def _batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        end = (
+            len(idx) - len(idx) % self.batch_size
+            if self.drop_last
+            else len(idx)
+        )
+        for i in range(0, end, self.batch_size):
+            yield idx[i : i + self.batch_size]
+
+    def __iter__(self) -> Iterator:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for batch_idx in self._batches():
+                    items = list(
+                        pool.map(self.dataset.__getitem__, batch_idx)
+                    )
+                    q.put(self._collate(items))
+            q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()

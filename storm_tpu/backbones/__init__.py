@@ -9,5 +9,7 @@ from ..utils import Registry
 BackboneRegistry = Registry("Backbone")
 
 from . import ncsnpp  # noqa: E402,F401  (registers ncsnpp variants)
+from . import convtasnet  # noqa: E402,F401
+from . import gagnet  # noqa: E402,F401
 
-__all__ = ["BackboneRegistry", "ncsnpp"]
+__all__ = ["BackboneRegistry", "ncsnpp", "convtasnet", "gagnet"]

@@ -373,10 +373,6 @@ class NCSNpp(fnn.Module):
         Returns:
             packed-real (B, spatial_channels, F, T, 2).
         """
-        modules = self.all_modules
-        m_idx = 0
-        act = get_act(self.nonlinearity)
-
         # complex->channel split: per complex channel [re, im] interleaved,
         # channels-last (reference does the same split channels-first,
         # ncsnpp.py:289-296).
@@ -386,6 +382,22 @@ class NCSNpp(fnn.Module):
         )
         h_in = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B, Fdim, Tdim, 2 * Cc)
         h_in = h_in.astype(self.dtype)
+
+        h = self._unet(h_in, time_cond, train)
+
+        h = self.output_layer(h)  # (B, F, T, 2*D), [re(d) for d] + [im(d) for d]
+        h = h.astype(jnp.float32)
+        D = self.spatial_channels
+        h = h.reshape(B, Fdim, Tdim, 2, D)
+        return jnp.transpose(h, (0, 4, 1, 2, 3))  # (B, D, F, T, 2)
+
+    def _unet(self, h_in, time_cond, train: bool = False):
+        """U-Net trunk on a real NHWC image (B, H, W, total_channels) ->
+        (B, H, W, total_channels or pyramid channels), incl. scale_by_sigma
+        but excluding the final 1x1 output projection."""
+        modules = self.all_modules
+        m_idx = 0
+        act = get_act(self.nonlinearity)
 
         # --- time embedding ------------------------------------------------
         if self.embedding_type == "fourier":
@@ -516,12 +528,81 @@ class NCSNpp(fnn.Module):
 
         if self.eff_scale_by_sigma:
             h = h / used_sigmas[:, None, None, None].astype(h.dtype)
+        return h
 
-        h = self.output_layer(h)  # (B, F, T, 2*D), [re(d) for d] + [im(d) for d]
-        h = h.astype(jnp.float32)
-        D = self.spatial_channels
-        h = h.reshape(B, Fdim, Tdim, 2, D)
-        return jnp.transpose(h, (0, 4, 1, 2, 3))  # (B, D, F, T, 2)
+
+@BackboneRegistry.register("ae-ncsnpp")
+class AutoEncodeNCSNpp(NCSNpp):
+    """NCSN++ on a learned Conv1d filterbank instead of the STFT
+    (sgmse/backbones/ncsnpp.py:516-931): 512-tap stride-128 encoder to
+    `image_size` channels, trunk U-Net with total_channels=1, transposed-conv
+    decoder back to the waveform.
+
+    Reference quirks fixed here: its conditional branch references an
+    undefined `lnn` (ncsnpp.py:651, i.e. untested) — conditioning just works
+    here; and it never defines FORCE_STFT_OUT (which DiscriminativeModel
+    reads) — this is a time-domain backbone, so FORCE_STFT_OUT = True.
+    """
+
+    input_channels: int = 1
+    discriminative: bool = True
+
+    FORCE_STFT_OUT = True
+
+    @property
+    def eff_input_channels(self) -> int:
+        # waveform-domain: one real channel from the learned encoder
+        return 1 if self.discriminative else self.input_channels
+
+    def setup(self):
+        super().setup()
+        self.encoder_w = self.param(
+            "encoder_w", ddpm_init(),
+            (512, 1, self.image_size), jnp.float32,
+        )
+        self.decoder_w = self.param(
+            "decoder_w", ddpm_init(),
+            (512, self.image_size, 1), jnp.float32,
+        )
+
+    def __call__(self, x_time, time_cond=None, train: bool = False):
+        """x_time: waveform (B, T) or (B, 1, T) -> same shape."""
+        squeeze = x_time.ndim == 2
+        if not squeeze:
+            assert x_time.shape[1] == 1, "ae-ncsnpp assumes D=1"
+            x_time = x_time[:, 0]
+        B, T_orig = x_time.shape
+        h = x_time[..., None].astype(self.dtype)  # (B, T, 1)
+
+        # encoder: Conv1d(1 -> image_size, 512, stride 128, pad 256, no bias)
+        enc = jax.lax.conv_general_dilated(
+            h, self.encoder_w.astype(h.dtype),
+            window_strides=(128,), padding=[(256, 256)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )  # (B, L, C=image_size)
+        img = jnp.transpose(enc, (0, 2, 1))[..., None]  # (B, C, L, 1)
+
+        # pad the frame axis to a multiple of 64 (reference pads via
+        # pad_spec, ncsnpp.py:770-771)
+        L = img.shape[2]
+        pad = (-L) % 64
+        if pad:
+            img = jnp.pad(img, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+        h = self._unet(img, time_cond, train)  # (B, C, Lpad, 1)
+
+        # decoder: ConvTranspose1d(image_size -> 1, 512, stride 128,
+        # pad 256, no bias); the reference decodes the padded trunk output
+        # then crops to T_orig (ncsnpp.py:922-924)
+        dec_in = h[..., 0].swapaxes(1, 2)  # (B, Lpad, C)
+        out = jax.lax.conv_general_dilated(
+            dec_in, self.decoder_w.astype(h.dtype),
+            window_strides=(1,), padding=[(255, 255)],
+            lhs_dilation=(128,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )[..., 0]
+        out = out[:, :T_orig].astype(jnp.float32)
+        return out if squeeze else out[:, None, :]
 
 
 @BackboneRegistry.register("ncsnpplarge")

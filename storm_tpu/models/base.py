@@ -92,3 +92,20 @@ def prepare_spec(y, stft_config: STFTConfig, transform: SpecTransform,
     Y = wav_to_spec(y, stft_config, transform)
     t_orig = Y.shape[-2]
     return pad_spec(Y, multiple=multiple, axis=-2), t_orig
+
+
+def time_domain_denoise(dnn, params, Y, stft_config: STFTConfig,
+                        transform: SpecTransform):
+    """Run a FORCE_STFT_OUT (time-domain) backbone on a compressed spec.
+
+    spec -> wav -> dnn -> wav -> spec, keeping the frame count of Y
+    (the reference converts around such backbones at
+    sgmse/model.py:322-324, 362-363).
+    """
+    t_frames = Y.shape[-2]
+    length = (t_frames - 1) * stft_config.hop_length
+    y_time = spec_to_wav(Y, stft_config, transform, length=length)
+    out_time = dnn.apply({"params": params}, y_time)
+    out_spec = wav_to_spec(out_time, stft_config, transform)
+    # stft of exactly (t-1)*hop samples gives t frames; guard regardless
+    return out_spec[..., :t_frames, :]

@@ -68,10 +68,19 @@ class DiscriminativeModel:
             stft_config=stft_config, transform=transform,
         )
 
+    @property
+    def force_stft_out(self) -> bool:
+        """Time-domain backbone (ConvTasNet): feed/return waveforms
+        (sgmse/model.py:322-324)."""
+        return bool(getattr(self.dnn, "FORCE_STFT_OUT", False))
+
     def init_params(self, key, spec_shape: Tuple[int, ...]):
         B, F, T = spec_shape
-        y = jnp.zeros((B, 1, F, T, 2), jnp.float32)
         t = jnp.ones((B,), jnp.float32)
+        if self.force_stft_out:
+            y = jnp.zeros((B, (T - 1) * self.stft_config.hop_length), jnp.float32)
+            return self.dnn.init(key, y, t)["params"]
+        y = jnp.zeros((B, 1, F, T, 2), jnp.float32)
         return self.dnn.init(key, y, t)["params"]
 
     def init_state(self, key, spec_shape=(1, 256, 64)) -> TrainState:
@@ -80,9 +89,18 @@ class DiscriminativeModel:
         )
 
     def apply(self, params, Y, train: bool = False, rng=None):
-        """x_hat = dnn(y, t=1) (sgmse/model.py:322-327). Y: (B, F, T, 2)."""
+        """x_hat = dnn(y, t=1) (sgmse/model.py:322-327). Y: (B, F, T, 2) for
+        spec backbones; for FORCE_STFT_OUT backbones Y is converted to time
+        and the TIME-domain estimate is returned (sgmse/model.py:322-327)."""
         t = jnp.ones((Y.shape[0],), jnp.float32)
         rngs = {"dropout": rng} if (train and rng is not None) else None
+        if self.force_stft_out:
+            length = (Y.shape[-2] - 1) * self.stft_config.hop_length
+            y_time = spec_to_wav(Y, self.stft_config, self.transform,
+                                 length=length)
+            return self.dnn.apply(
+                {"params": params}, y_time, t, train=train, rngs=rngs
+            )
         out = self.dnn.apply(
             {"params": params}, Y[:, None], t, train=train, rngs=rngs
         )
@@ -91,12 +109,17 @@ class DiscriminativeModel:
     def loss_fn(self, params, key, batch, train: bool = True):
         x, y = batch
         x_hat = self.apply(params, y, train=train, rng=key)
+        if self.force_stft_out:
+            # compare in the time domain (sgmse/model.py:329-331)
+            length = (x.shape[-2] - 1) * self.stft_config.hop_length
+            x = spec_to_wav(x, self.stft_config, self.transform, length=length)
         B = x.shape[0]
         diff = x - x_hat
         if self.loss_type == "mse":
             loss = jnp.mean(0.5 * jnp.sum(jnp.square(diff).reshape(B, -1), -1))
         elif self.loss_type == "mae":
-            loss = jnp.mean(0.5 * jnp.sum(cplx.cabs(diff).reshape(B, -1), -1))
+            mag = jnp.abs(diff) if self.force_stft_out else cplx.cabs(diff)
+            loss = jnp.mean(0.5 * jnp.sum(mag.reshape(B, -1), -1))
         elif self.loss_type == "sisdr":
             loss = -jnp.mean(
                 jax.vmap(si_sdr_jax)(
@@ -135,6 +158,12 @@ class DiscriminativeModel:
             del key
             T_orig = y.shape[-1]
             y_n, norm = normalize_wav(y)
+            if self.force_stft_out:
+                # time-domain backbone consumes the waveform directly
+                # (sgmse/model.py:349-352 with return_time)
+                t = jnp.ones((y_n.shape[0],), jnp.float32)
+                x_hat = self.dnn.apply({"params": params}, y_n, t)
+                return x_hat[..., :T_orig] * norm, 1
             Y, t_frames = prepare_spec(y_n, self.stft_config, self.transform)
             X_hat = self.apply(params, Y)
             X_hat = X_hat[..., :t_frames, :]

@@ -127,7 +127,12 @@ class StochasticRegenerationModel:
         t = jnp.ones((B,), jnp.float32)
         params = {}
         if self.denoiser_net is not None:
-            y = jnp.zeros((B, 1, F, T, 2), jnp.float32)
+            if getattr(self.denoiser_net, "FORCE_STFT_OUT", False):
+                y = jnp.zeros(
+                    (B, (T - 1) * self.stft_config.hop_length), jnp.float32
+                )
+            else:
+                y = jnp.zeros((B, 1, F, T, 2), jnp.float32)
             params["denoiser"] = self.denoiser_net.init(kd, y, t)["params"]
         if self.score_net is not None:
             n_c = 1 + _CONDITION_CHANNELS[self.condition]
@@ -143,7 +148,20 @@ class StochasticRegenerationModel:
     # --- forward ----------------------------------------------------------
 
     def forward_denoiser(self, params, Y, train: bool = False, rng=None):
-        """D(y) (sgmse/model.py:556-558). Y: (B, F, T, 2)."""
+        """D(y) (sgmse/model.py:556-558). Y: (B, F, T, 2).
+
+        Time-domain (FORCE_STFT_OUT) denoisers are wrapped spec->wav->spec
+        so the SDE input/conditioning stay spectral. (The reference's StoRM
+        class passes the spec straight into such backbones, which cannot
+        work — sgmse/model.py:556-558 never checks FORCE_STFT_OUT; fixed
+        here.)"""
+        if getattr(self.denoiser_net, "FORCE_STFT_OUT", False):
+            from .base import time_domain_denoise
+
+            return time_domain_denoise(
+                self.denoiser_net, params["denoiser"], Y,
+                self.stft_config, self.transform,
+            )
         t = jnp.ones((Y.shape[0],), jnp.float32)
         rngs = {"dropout": rng} if (train and rng is not None) else None
         out = self.denoiser_net.apply(

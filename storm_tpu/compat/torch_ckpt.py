@@ -1,0 +1,194 @@
+"""Torch (Lightning) checkpoint -> flax parameter conversion.
+
+The reference's NCSN++ stores modules positionally
+(`all_modules.{i}.<param>`, sgmse/backbones/ncsnpp.py:273); this framework
+names the same modules `m{i}` with identical construction order
+(storm_tpu/backbones/ncsnpp.py setup), so conversion is a pure name/layout
+mapping:
+
+    torch                         flax (this framework)
+    ------------------------------------------------------------------
+    all_modules.N.W               m{N}.W            (GaussianFourier)
+    all_modules.N.weight (O,I)    m{N}.kernel (I,O)            (Linear)
+    all_modules.N.weight (OIHW)   m{N}.kernel (HWIO)           (Conv2d)
+    all_modules.N.GroupNorm_k.weight   m{N}.GroupNorm_k.scale
+    all_modules.N.NIN_k.W/b       m{N}.NIN_k.W/b
+    all_modules.N.Conv2d_0.weight m{N}.Conv2d_0_weight (HWIO)
+    output_layer.weight/bias      output_layer.kernel/bias
+
+EMA shadow parameters (torch-ema `shadow_params`, stored under 'ema' in the
+checkpoint, sgmse/model.py:86-95) are positional over the trainable
+parameters in state_dict order; `convert_lightning_checkpoint` rebuilds the
+EMA tree by replaying that order.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, Mapping, Tuple
+
+import numpy as np
+
+
+def _to_np(v) -> np.ndarray:
+    if hasattr(v, "detach"):  # torch tensor
+        return v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _convert_leaf(torch_key_tail: str, value: np.ndarray):
+    """Map one torch parameter to (flax_name, converted_array)."""
+    v = _to_np(value)
+    if torch_key_tail == "weight":
+        if v.ndim == 4:  # Conv2d OIHW -> HWIO
+            return "kernel", np.transpose(v, (2, 3, 1, 0))
+        if v.ndim == 3:  # Conv1d OIW -> WIO
+            return "kernel", np.transpose(v, (2, 1, 0))
+        if v.ndim == 2:  # Linear (O,I) -> (I,O)
+            return "kernel", v.T
+        if v.ndim == 1:  # norm affine weight -> scale
+            return "scale", v
+    if torch_key_tail == "bias":
+        return "bias", v
+    # NIN W/b, GFP W keep their names and layouts
+    return torch_key_tail, v
+
+
+_GFP_KEYS = {"W"}  # GaussianFourierProjection frozen weight
+
+
+def convert_backbone_state_dict(
+    sd: Mapping[str, Any], prefix: str = ""
+) -> Dict[str, Any]:
+    """Convert a torch NCSN++ state_dict (optionally under `prefix`, e.g.
+    'dnn.' for ScoreModel / 'score_net.' for StoRM) into a flax param tree.
+    """
+    out: Dict[str, Any] = {}
+    for key, value in sd.items():
+        if prefix:
+            if not key.startswith(prefix):
+                continue
+            key = key[len(prefix):]
+        parts = key.split(".")
+        v = _to_np(value)
+        if parts[0] == "all_modules":
+            idx = int(parts[1])
+            rest = parts[2:]
+            flax_path = [f"m{idx}"]
+        elif parts[0] == "output_layer":
+            rest = parts[1:]
+            flax_path = ["output_layer"]
+        else:
+            # encoder/decoder (ae-ncsnpp) or other top-level modules
+            rest = parts[1:]
+            flax_path = [parts[0]]
+
+        if len(rest) == 1:
+            # direct param of the module (Conv/Linear/GroupNorm/GFP/NIN)
+            # special-case the StyleGAN2 Conv2d_0 naming inside Up/Downsample
+            name, conv = _convert_leaf(rest[0], v)
+            _set(out, tuple(flax_path + [name]), conv)
+        elif len(rest) == 2 and rest[0] == "Conv2d_0":
+            # StyleGAN2 fused resample conv: flat params in this framework
+            if rest[1] == "weight":
+                _set(out, tuple(flax_path + ["Conv2d_0_weight"]),
+                     np.transpose(v, (2, 3, 1, 0)))
+            else:
+                _set(out, tuple(flax_path + ["Conv2d_0_bias"]), v)
+        else:
+            # nested submodule (ResBlock/Attn internals): keep structure
+            name, conv = _convert_leaf(rest[-1], v)
+            _set(out, tuple(flax_path + rest[:-1] + [name]), conv)
+    return out
+
+
+def _iter_trainable_keys(sd: Mapping[str, Any]) -> Iterable[str]:
+    """state_dict keys in order, skipping frozen params (GFP W is
+    requires_grad=False in the reference and thus absent from torch-ema's
+    shadow list)."""
+    for key in sd:
+        if key.split(".")[-1] == "W" and "NIN" not in key:
+            # GaussianFourierProjection.W (frozen)
+            continue
+        yield key
+
+
+def convert_lightning_checkpoint(
+    ckpt: Mapping[str, Any], prefix: str = "dnn."
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Convert a full Lightning checkpoint dict into (params, ema_params).
+
+    Args:
+        ckpt: loaded checkpoint (torch.load(..., map_location='cpu')):
+            expects 'state_dict' and optionally 'ema' (torch-ema format with
+            'shadow_params' positional list).
+        prefix: backbone prefix inside the state_dict ('dnn.' for Score/
+            Discriminative models; 'denoiser_net.' / 'score_net.' for StoRM).
+    """
+    sd = ckpt["state_dict"] if "state_dict" in ckpt else ckpt
+    params = convert_backbone_state_dict(sd, prefix=prefix)
+
+    ema = ckpt.get("ema")
+    if not ema or "shadow_params" not in ema:
+        return params, params
+    shadow = list(ema["shadow_params"])
+    ema_sd = dict(sd)
+    trainable = [k for k in _iter_trainable_keys(sd) if k.startswith(prefix)]
+    # torch-ema shadows ALL trainable params of the Lightning module in
+    # parameters() order == state_dict order (python 3.7+ dicts);
+    # select the slice belonging to this prefix
+    all_trainable = list(_iter_trainable_keys(sd))
+    if len(shadow) != len(all_trainable):
+        raise ValueError(
+            f"EMA shadow length {len(shadow)} != trainable params "
+            f"{len(all_trainable)}"
+        )
+    for k, s in zip(all_trainable, shadow):
+        ema_sd[k] = s
+    ema_params = convert_backbone_state_dict(ema_sd, prefix=prefix)
+    return params, ema_params
+
+
+# ---------------------------------------------------------------------------
+# Inverse direction (flax -> torch layout), used for round-trip testing and
+# for exporting checkpoints back to the reference format.
+# ---------------------------------------------------------------------------
+
+def flax_to_torch_backbone(params: Mapping[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    """Flatten a flax NCSN++ param tree into torch state_dict naming."""
+    out: Dict[str, np.ndarray] = {}
+
+    def rec(node, path):
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                rec(v, path + [k])
+            return
+        v = np.asarray(node)
+        parts = list(path)
+        if parts[0].startswith("m") and parts[0][1:].isdigit():
+            parts[0] = f"all_modules.{parts[0][1:]}"
+        leaf = parts[-1]
+        if leaf == "kernel":
+            if v.ndim == 4:
+                v = np.transpose(v, (3, 2, 0, 1))
+            elif v.ndim == 3:
+                v = np.transpose(v, (2, 1, 0))
+            else:
+                v = v.T
+            parts[-1] = "weight"
+        elif leaf == "scale":
+            parts[-1] = "weight"
+        elif leaf == "Conv2d_0_weight":
+            v = np.transpose(v, (3, 2, 0, 1))
+            parts[-1] = "Conv2d_0.weight"
+        elif leaf == "Conv2d_0_bias":
+            parts[-1] = "Conv2d_0.bias"
+        out[prefix + ".".join(parts)] = v
+
+    rec(params, [])
+    return out

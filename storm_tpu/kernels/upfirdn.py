@@ -1,0 +1,184 @@
+"""Pallas TPU upfirdn2d (≙ reference op/upfirdn2d_kernel.cu).
+
+The CUDA reference implements fused zero-insert-upsample -> FIR -> strided
+downsample with tiled shared-memory kernels and a hand-written
+double-backward (op/upfirdn2d.py:19-142). Structure here:
+
+- host side: zero-insertion (up>1) and edge padding are materialized with
+  cheap XLA ops (they are O(N) pads; the CUDA kernel fuses them because on
+  GPU extra launches are costly — on TPU the pad fuses into the producer);
+- kernel: tiled 4x4 (or KxK) FIR with output stride, gridded over
+  (batch, row-tiles); each program DMAs its input row range + halo from HBM
+  into VMEM and computes the K*K-tap accumulation on the VPU with strided
+  value slices;
+- custom VJP: the flip-kernel / swap-up-down transpose identity of the
+  reference backward (op/upfirdn2d.py:54-80), expressed as another
+  upfirdn2d call.
+
+`upfirdn2d(x, k, up, down, pad, impl=...)` dispatches to this kernel or to
+the XLA dilated-conv lowering in storm_tpu.nn.resample (the default — XLA
+is already at speed for this op: FIR resampling is <1% of NCSN++ forward
+wall time, see /tmp profiling notes in the commit history).
+
+Status: the Pallas path is numerically verified against the XLA lowering
+and numpy ground truth in interpret mode (tests/test_kernels.py); on this
+environment's tunneled TPU backend, Mosaic compilation of the large-shape
+FIR kernel is unstable (vmem output placement + worker crashes), so the
+XLA implementation remains the production path on all shapes.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..nn.resample import upfirdn2d as upfirdn2d_xla
+
+
+def _zero_insert(x, up: int):
+    """(B, H, W, C) -> (B, H*up, W*up, C) with up-1 zeros after each
+    sample (reference zero-insertion places zeros after the last sample
+    too, op/upfirdn2d.py:166-171)."""
+    if up == 1:
+        return x
+    B, H, W, C = x.shape
+    z = jnp.zeros((B, H, up, W, up, C), x.dtype)
+    z = z.at[:, :, 0, :, 0, :].set(x)
+    return z.reshape(B, H * up, W * up, C)
+
+
+def _fir_down_kernel(x_hbm, k_ref, o_ref, scratch, sem, *, K, down, TH, Wo):
+    """One (batch, row-tile) program: DMA rows + halo, K*K FIR, stride."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    rows_in = -(-((TH - 1) * down + K) // down) * down
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * TH * down, rows_in)],
+        scratch,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    xv = scratch[:]  # (rows_in, Wp, C)
+    R, Wp, C = xv.shape
+    acc = jnp.zeros((TH, Wo, C), jnp.float32)
+    if down == 1:
+        for kh in range(K):
+            for kw in range(K):
+                sub = jax.lax.slice(
+                    xv, (kh, kw, 0), (kh + TH, kw + Wo, C)
+                )
+                acc = acc + k_ref[kh, kw] * sub.astype(jnp.float32)
+    else:
+        # Mosaic only supports unit-stride vector slices: decimate via a
+        # polyphase reshape instead (R, Wp padded to multiples of `down`
+        # by the caller), then every tap is a unit-stride slice of the
+        # right phase.
+        v = xv.reshape(R // down, down, Wp // down, down, C)
+        for kh in range(K):
+            for kw in range(K):
+                ph, pw = kh % down, kw % down
+                sub = jax.lax.slice(
+                    v,
+                    (kh // down, ph, kw // down, pw, 0),
+                    (kh // down + TH, ph + 1, kw // down + Wo, pw + 1, C),
+                )[:, 0, :, 0, :]
+                acc = acc + k_ref[kh, kw] * sub.astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)  # block carries a leading batch dim of 1
+
+
+def upfirdn2d_pallas(x, kernel, up: int = 1, down: int = 1, pad=(0, 0),
+                     row_tile: int = 16):
+    """Pallas implementation of upfirdn2d on (B, H, W, C).
+
+    Supports the NCSN++ configurations (separable square kernels, up/down
+    in {1, 2}, non-negative effective padding).
+    """
+    kernel = jnp.asarray(kernel, jnp.float32)
+    K = kernel.shape[0]
+    assert kernel.shape == (K, K)
+    pad0, pad1 = int(pad[0]), int(pad[1])
+
+    xz = _zero_insert(x, up)
+    assert pad0 >= 0 and pad1 >= 0, "negative pads unsupported in pallas impl"
+    xp = jnp.pad(xz, ((0, 0), (pad0, pad1), (pad0, pad1), (0, 0)))
+    B, Hp, Wp, C = xp.shape
+    Ho = (Hp - K) // down + 1
+    Wo = (Wp - K) // down + 1
+
+    # round output rows up to a tile multiple by padding input rows; crop
+    # after. rows/width are padded to `down` multiples so the kernel's
+    # polyphase reshape decimation is exact.
+    TH = min(row_tile, Ho)
+    n_tiles = -(-Ho // TH)
+    Ho_pad = n_tiles * TH
+    rows_in = -(-((TH - 1) * down + K) // down) * down
+    need_rows = (n_tiles - 1) * TH * down + rows_in
+    if need_rows > Hp:
+        xp = jnp.pad(xp, ((0, 0), (0, need_rows - Hp), (0, 0), (0, 0)))
+    need_w = -(-((Wo - 1) * down + K) // down) * down
+    if need_w > xp.shape[2]:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, need_w - xp.shape[2]), (0, 0)))
+    elif xp.shape[2] % down:
+        xp = jnp.pad(
+            xp, ((0, 0), (0, 0), (0, down - xp.shape[2] % down), (0, 0))
+        )
+
+    # true convolution: flip the kernel (conv vs correlation)
+    kflip = jnp.flip(kernel)
+
+    out = pl.pallas_call(
+        partial(_fir_down_kernel, K=K, down=down, TH=TH, Wo=Wo),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, manual DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TH, Wo, C),
+            lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Ho_pad, Wo, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows_in, xp.shape[2], C), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xp, kflip)
+    return out[:, :Ho]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def upfirdn2d(x, kernel, up: int = 1, down: int = 1, pad=(0, 0),
+              impl: str = "xla"):
+    """upfirdn2d with selectable backend and the reference's transpose VJP."""
+    if impl == "pallas":
+        return upfirdn2d_pallas(x, kernel, up=up, down=down, pad=pad)
+    return upfirdn2d_xla(x, kernel, up=up, down=down, pad=pad)
+
+
+def _ufd_fwd(x, kernel, up, down, pad, impl):
+    out = upfirdn2d(x, kernel, up, down, pad, impl)
+    return out, (x.shape, kernel)
+
+
+def _ufd_bwd(up, down, pad, impl, res, g):
+    """Flip-kernel / swap-up-down transpose (op/upfirdn2d.py:54-80)."""
+    x_shape, kernel = res
+    K = kernel.shape[0]
+    in_h, in_w = x_shape[1], x_shape[2]
+    out_h = (in_h * up + pad[0] + pad[1] - K) // down + 1
+    g_pad0 = K - pad[0] - 1
+    g_pad1 = in_h * up - out_h * down + pad[0] - up + 1
+    grad_x = upfirdn2d(
+        g, jnp.flip(kernel), down, up, (g_pad0, g_pad1), "xla"
+    )
+    return grad_x, None
+
+
+upfirdn2d.defvjp(_ufd_fwd, _ufd_bwd)

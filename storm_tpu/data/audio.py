@@ -18,7 +18,20 @@ _INT_SCALES = {
 
 
 def load_wav(path) -> tuple[np.ndarray, int]:
-    """Read a WAV file -> (data (C, T) float32 in [-1,1], sample_rate)."""
+    """Read a WAV file -> (data (C, T) float32 in [-1,1], sample_rate).
+
+    Uses the native C++ decoder (storm_tpu.native) when available — it
+    releases the GIL, so the threaded loader decodes in parallel on the
+    single host core's SMT threads; falls back to scipy otherwise.
+    """
+    from .. import native
+
+    if native.available():
+        try:
+            data, sr, _ = native.load_wav_native(str(path))
+            return data, int(sr)
+        except (IOError, RuntimeError):
+            pass  # unusual encodings fall through to scipy
     sr, data = wavfile.read(path)
     if data.dtype in _INT_SCALES:
         if data.dtype == np.dtype(np.uint8):

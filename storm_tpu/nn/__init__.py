@@ -19,6 +19,8 @@ from .layers import (
     get_act,
     GaussianFourierProjection,
     DiffusionStepEmbedding,
+    ComplexLinear,
+    FeatureMapDense,
     NIN,
     Combine,
     AttnBlockpp,
@@ -28,6 +30,7 @@ from .layers import (
     ResnetBlockDDPMpp,
     group_norm,
 )
+from . import legacy
 
 __all__ = [
     "ddpm_init",

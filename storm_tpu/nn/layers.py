@@ -102,11 +102,14 @@ class GaussianFourierProjection(fnn.Module):
     W ~ N(0, scale^2) is frozen at init (requires_grad=False in the
     reference); here the gradient is stopped instead so any optimizer leaves
     it untouched while it still lives in the param tree for checkpointing.
-    Output: concat([sin(2*pi*t*W), cos(2*pi*t*W)]) of width 2*embedding_size.
+    Output: concat([sin(2*pi*t*W), cos(2*pi*t*W)]) of width 2*embedding_size;
+    with complex_valued=True, exp(i*2*pi*t*W) as packed-real (B, size, 2)
+    (the reference halves embed_dim only in the real case, shared.py:19-27).
     """
 
     embedding_size: int = 256
     scale: float = 16.0
+    complex_valued: bool = False
 
     @fnn.compact
     def __call__(self, t):
@@ -118,19 +121,66 @@ class GaussianFourierProjection(fnn.Module):
         )
         W = jax.lax.stop_gradient(W)
         proj = t[:, None] * W[None, :] * (2 * math.pi)
+        if self.complex_valued:
+            return jnp.stack([jnp.cos(proj), jnp.sin(proj)], axis=-1)
         return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
 
 
 class DiffusionStepEmbedding(fnn.Module):
-    """DiffWave-style sinusoidal step embedding (shared.py:38-58)."""
+    """DiffWave-style sinusoidal step embedding (shared.py:38-58).
+
+    With complex_valued=True returns exp(i * inner) as packed-real (..., 2)
+    of width embed_dim (no sin/cos halving needed — shared.py:43-49)."""
 
     embed_dim: int = 256
+    complex_valued: bool = False
 
     def __call__(self, t):
-        half = self.embed_dim // 2
+        half = self.embed_dim if self.complex_valued else self.embed_dim // 2
         fac = 10.0 ** (4.0 * jnp.arange(half, dtype=jnp.float32) / (half - 1))
         inner = t[:, None] * fac[None, :]
+        if self.complex_valued:
+            return jnp.stack([jnp.cos(inner), jnp.sin(inner)], axis=-1)
         return jnp.concatenate([jnp.sin(inner), jnp.cos(inner)], axis=-1)
+
+
+class ComplexLinear(fnn.Module):
+    """Complex-valued linear layer over packed-real (..., D, 2) inputs
+    (shared.py:61-77): (re + i im) @ (Wre + i Wim) via two real Dense pairs
+    sharing the reference's weight structure; reduces to a plain Dense when
+    complex_valued=False."""
+
+    output_dim: int
+    complex_valued: bool = True
+
+    @fnn.compact
+    def __call__(self, x):
+        if not self.complex_valued:
+            return fnn.Dense(self.output_dim, name="lin")(x)
+        re_mod = fnn.Dense(self.output_dim, name="re")
+        im_mod = fnn.Dense(self.output_dim, name="im")
+        xr, xi = x[..., 0], x[..., 1]
+        out_re = re_mod(xr) - im_mod(xi)
+        out_im = re_mod(xi) + im_mod(xr)
+        return jnp.stack([out_re, out_im], axis=-1)
+
+
+class FeatureMapDense(fnn.Module):
+    """Fully-connected layer broadcast to feature maps (shared.py:80-89):
+    output gains two trailing singleton spatial dims (channels-last here:
+    the singleton dims precede the channel axis)."""
+
+    output_dim: int
+    complex_valued: bool = False
+
+    @fnn.compact
+    def __call__(self, x):
+        h = ComplexLinear(
+            self.output_dim, complex_valued=self.complex_valued, name="dense"
+        )(x)
+        if self.complex_valued:
+            return h[:, None, None, :, :]  # (B, 1, 1, D, 2)
+        return h[:, None, None, :]  # (B, 1, 1, D)
 
 
 class NIN(fnn.Module):

@@ -20,12 +20,14 @@ from .stoi import stoi
 class BucketedEnhancer:
     """Caches jitted enhance programs per padded input length."""
 
-    def __init__(self, model, params, bucket_frames: int = 64, **enhance_kwargs):
+    def __init__(self, model, params, bucket_frames: int = 64,
+                 minibatch: Optional[int] = None, **enhance_kwargs):
         self.model = model
         self.params = params
         self.enhance_kwargs = enhance_kwargs
         hop = model.stft_config.hop_length
         self.bucket_samples = bucket_frames * hop
+        self.minibatch = minibatch  # sequential chunking (sgmse/model.py:210-222)
         self._cache: Dict[int, object] = {}
 
     def _get(self, padded_len: int):
@@ -42,7 +44,19 @@ class BucketedEnhancer:
         T = y.shape[-1]
         padded = -(-T // self.bucket_samples) * self.bucket_samples
         y_pad = np.pad(y, [(0, 0), (0, padded - T)])
-        x_hat, nfe = self._get(padded)(self.params, y_pad, key)
+        if self.minibatch is not None and y_pad.shape[0] > self.minibatch:
+            chunks, nfe = [], 0
+            for i in range(0, y_pad.shape[0], self.minibatch):
+                chunk = y_pad[i : i + self.minibatch]
+                rows = chunk.shape[0]
+                if rows < self.minibatch:  # keep the jit cache to one shape
+                    chunk = np.pad(chunk, [(0, self.minibatch - rows), (0, 0)])
+                xc, n = self._get(padded)(self.params, chunk, key)
+                chunks.append(np.asarray(xc)[:rows])
+                nfe += int(n)
+            x_hat = np.concatenate(chunks, axis=0)
+        else:
+            x_hat, nfe = self._get(padded)(self.params, y_pad, key)
         x_hat = np.asarray(x_hat)[..., :T]
         return (x_hat[0] if squeeze else x_hat), int(nfe)
 

@@ -133,6 +133,25 @@ def wer(r: Sequence[str], h: Sequence[str]) -> float:
     return float(d[len(r), len(h)]) / len(r)
 
 
+def pydub_read(path, sr: int = 16000) -> np.ndarray:
+    """Read arbitrary audio formats via pydub/ffmpeg (other.py:144-151).
+
+    Gated on the optional `pydub` package (not in this image); plain WAVs
+    should use storm_tpu.data.audio.load_wav instead."""
+    try:
+        from pydub import AudioSegment
+    except ImportError as e:
+        raise ImportError(
+            "pydub is not installed; for WAV files use "
+            "storm_tpu.data.audio.load_wav"
+        ) from e
+    y = AudioSegment.from_file(path).set_frame_rate(sr)
+    samples = [s.get_array_of_samples() for s in y.split_to_mono()]
+    fp = np.array(samples).T.astype(np.float32)
+    fp /= np.iinfo(samples[0].typecode).max
+    return fp
+
+
 def mean_conf_int(data, confidence: float = 0.95):
     """(other.py:46-51)."""
     a = 1.0 * np.array(data)

@@ -282,18 +282,40 @@ def main():
             vlosses.append(float(valid_loss_fn(state.params, k, prepare(device_batch))))
         valid_loss = float(np.mean(vlosses)) if vlosses else float("nan")
 
-        # enhancement metrics on EMA params (reference model.py:605-622)
+        # enhancement metrics on EMA params (reference model.py:605-622);
+        # audio + spectrogram artifacts every VIS_EPOCHS (model.py:20,
+        # 624-641)
+        VIS_EPOCHS = 5
+        visualize = writer is not None and epoch % VIS_EPOCHS == 0
         pesq_est = si_sdr_est = estoi_est = float("nan")
         if args.num_eval_files:
             ek = {"N": args.eval_N} if args.eval_N else {}
             try:
-                pesq_est, si_sdr_est, estoi_est, _, _ = evaluate_model(
+                pesq_est, si_sdr_est, estoi_est, spec, audio = evaluate_model(
                     model, jax.device_get(state.ema_params), dm.valid_set,
-                    args.num_eval_files, **ek,
+                    args.num_eval_files, spec=visualize, audio=visualize, **ek,
                 )
                 print(f"PESQ at epoch {epoch} : {pesq_est:.2f}")
                 print(f"SISDR at epoch {epoch} : {si_sdr_est:.1f}")
                 print(f"ESTOI at epoch {epoch} : {estoi_est:.2f}")
+                if visualize and audio is not None:
+                    for idx, (yv, xh, xv) in enumerate(zip(*audio)):
+                        if epoch == 0:
+                            writer.add_audio(
+                                f"Epoch={epoch} Mix/{idx}",
+                                yv / (np.abs(yv).max() + 1e-9), epoch, 16000)
+                            writer.add_audio(
+                                f"Epoch={epoch} Clean/{idx}",
+                                xv / (np.abs(xv).max() + 1e-9), epoch, 16000)
+                        writer.add_audio(
+                            f"Epoch={epoch} Estimate/{idx}",
+                            xh / (np.abs(xh).max() + 1e-9), epoch, 16000)
+                if visualize and spec is not None:
+                    from storm_tpu.utils.graphics import visualize_example
+
+                    for idx, (ys, xs_, cs) in enumerate(zip(*spec)):
+                        fig = visualize_example(ys, xs_, cs, return_fig=True)
+                        writer.add_figure(f"Epoch={epoch}/Spec/{idx}", fig)
             except Exception as e:  # eval must not kill training
                 print(f"eval failed at epoch {epoch}: {e}")
 

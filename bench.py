@@ -23,14 +23,14 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--frames", type=int, default=256,
                     help="STFT frames per utterance (256 ~ 2.04 s)")
     ap.add_argument("--N", type=int, default=50, help="reverse steps")
     ap.add_argument("--corrector", default="ald")
     ap.add_argument("--corrector-steps", type=int, default=1)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--dtype", default="float32",
+    ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     args = ap.parse_args()
 

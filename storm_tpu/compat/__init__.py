@@ -8,10 +8,12 @@ from .torch_ckpt import (
     convert_backbone_state_dict,
     convert_lightning_checkpoint,
     flax_to_torch_backbone,
+    load_reference_checkpoint,
 )
 
 __all__ = [
     "convert_backbone_state_dict",
     "convert_lightning_checkpoint",
     "flax_to_torch_backbone",
+    "load_reference_checkpoint",
 ]

@@ -154,6 +154,33 @@ def convert_lightning_checkpoint(
     return params, ema_params
 
 
+def load_reference_checkpoint(path: str, mode: str = "storm"):
+    """Load a reference Lightning .ckpt from disk into flax param trees.
+
+    Args:
+        path: .ckpt file (torch.save zipfile).
+        mode: 'storm' (denoiser_net.+score_net.), 'score-only' or
+            'denoiser-only' (dnn.).
+
+    Returns:
+        (params, ema_params, hparams): params trees shaped for this
+        framework's models ({'denoiser', 'score'} dict for storm), plus the
+        checkpoint's hyper_parameters dict for model reconstruction.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    hparams = dict(ckpt.get("hyper_parameters", {}))
+    if mode == "storm":
+        p_d, e_d = convert_lightning_checkpoint(ckpt, prefix="denoiser_net.")
+        p_s, e_s = convert_lightning_checkpoint(ckpt, prefix="score_net.")
+        params = {"denoiser": p_d, "score": p_s}
+        ema = {"denoiser": e_d, "score": e_s}
+    else:
+        params, ema = convert_lightning_checkpoint(ckpt, prefix="dnn.")
+    return params, ema, hparams
+
+
 # ---------------------------------------------------------------------------
 # Inverse direction (flax -> torch layout), used for round-trip testing and
 # for exporting checkpoints back to the reference format.

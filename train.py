@@ -98,6 +98,10 @@ def parse_args():
                         help="override backbone channel multipliers, e.g. 1,2,2,2")
     parser.add_argument("--eval_N", type=int, default=None,
                         help="reverse steps for in-training eval (default: model default)")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans (the reference keeps "
+                        "torch detect_anomaly always on, model.py:22 — "
+                        "here it is opt-in)")
     return parser.parse_args()
 
 
@@ -122,6 +126,9 @@ def main():
     from storm_tpu.models import StochasticRegenerationModel, wav_to_spec
     from storm_tpu.models.factory import build_model
     from storm_tpu.utils.inference import evaluate_model
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     config = {k: getattr(args, k) for k in MODEL_CONFIG_KEYS}
     if args.nf is not None:

@@ -23,6 +23,24 @@ import time
 import numpy as np
 
 
+
+def _enable_jax_compilation_cache():
+    """Persistent XLA compile cache: reruns of the CLIs skip the 20-40 s
+    cold compiles (safe to share across sessions; keyed by HLO+flags)."""
+    import os
+
+    import jax
+
+    cache = os.environ.get(
+        "STORM_TPU_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "storm_tpu_jax"),
+    )
+    if cache and cache != "0":
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 def parse_args():
     parser = argparse.ArgumentParser()
     # --- top-level (reference train.py:29-48) ---
@@ -121,6 +139,7 @@ def main():
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+    _enable_jax_compilation_cache()
     from storm_tpu.ckpt import CheckpointManager, load_checkpoint
     from storm_tpu.data import SpecsDataModule
     from storm_tpu.models import StochasticRegenerationModel, wav_to_spec

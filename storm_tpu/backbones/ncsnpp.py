@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as fnn
 import jax
@@ -42,7 +42,6 @@ from ..nn.layers import (
     ResnetBlockBigGANpp,
     ResnetBlockDDPMpp,
     Upsample,
-    conv1x1,
     conv3x3,
     get_act,
     group_norm,

@@ -16,7 +16,6 @@ and normalization of both signals by max|y| of the full noisy file.
 """
 from __future__ import annotations
 
-import json
 import os
 from glob import glob
 from os.path import join

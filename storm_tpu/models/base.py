@@ -13,7 +13,7 @@ parameters updated after every optimizer step with warmup
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import flax.struct
 import jax

@@ -8,8 +8,7 @@ steady state is `y`. Sampling runs as a single on-device `lax.scan`.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ helpers, alignment and WER are implemented natively.
 from __future__ import annotations
 
 import warnings
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import scipy.signal as ss

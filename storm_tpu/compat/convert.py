@@ -1,0 +1,76 @@
+"""CLI: convert a reference Lightning .ckpt into a storm-tpu checkpoint.
+
+    python -m storm_tpu.compat.convert --ckpt storm_wsj0.ckpt \
+        --out ./converted/storm_wsj0 --mode storm
+
+The output directory is loadable by enhancement.py / train.py
+(--resume_from_checkpoint): orbax state {params, ema_params, opt_state,
+step} + config.json. Hyperparameters stored in the torch checkpoint are
+mapped onto this framework's config keys where recognizable; anything else
+can be overridden with --set key=value.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+_HPARAM_KEYS = [
+    "backbone", "backbone_denoiser", "backbone_score", "sde", "lr",
+    "ema_decay", "t_eps", "loss_type", "loss_type_denoiser",
+    "loss_type_score", "weighting_denoiser_to_score", "condition",
+    "spatial_channels", "n_fft", "hop_length", "window", "spec_factor",
+    "spec_abs_exponent", "theta", "sigma_min", "sigma_max", "beta_min",
+    "beta_max", "stiffness",
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True, help="reference .ckpt file")
+    ap.add_argument("--out", required=True, help="output checkpoint dir")
+    ap.add_argument("--mode", default="storm",
+                    choices=["storm", "score-only", "denoiser-only"])
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="KEY=VALUE", help="config overrides")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from ..ckpt import save_checkpoint
+    from ..models import init_train_state, make_optimizer
+    from ..models.factory import build_model
+    from .torch_ckpt import load_reference_checkpoint
+
+    params, ema, hparams = load_reference_checkpoint(args.ckpt, mode=args.mode)
+
+    config = {
+        "mode": {"storm": "regen-joint-training"}.get(args.mode, args.mode)
+    }
+    for k in _HPARAM_KEYS:
+        if k in hparams and isinstance(hparams[k], (int, float, str, bool)):
+            config[k] = hparams[k]
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        try:
+            config[k] = json.loads(v)
+        except json.JSONDecodeError:
+            config[k] = v
+    if config["mode"] == "regen-joint-training" and hparams.get("mode"):
+        config["mode"] = hparams["mode"]
+
+    model = build_model(dict(config))  # validates the config
+    state = init_train_state(params, make_optimizer(config.get("lr", 1e-4)))
+    state = state.replace(ema_params=ema)
+    save_checkpoint(args.out, state, config)
+    n = sum(x.size for x in jax.tree.leaves(params))
+    print(f"converted {args.ckpt} -> {args.out} ({n/1e6:.2f}M params, "
+          f"mode={config['mode']}); model config: "
+          f"{json.dumps({k: v for k, v in config.items() if k != 'mode'})[:200]}")
+    del model
+
+
+if __name__ == "__main__":
+    main()

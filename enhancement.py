@@ -85,6 +85,7 @@ def main():
 
     enhancer = BucketedEnhancer(
         model, params,
+        minibatch=args.batch if args.batch > 1 else None,
         corrector=args.corrector, corrector_steps=args.corrector_steps,
         snr=args.snr, N=args.N,
     )
@@ -120,26 +121,38 @@ def main():
                 print(os.path.basename(f))
         return
 
-    # serving mode: bucket files by padded length, batch each bucket (the
-    # reverse-diffusion compute is embarrassingly batch-parallel; batching
-    # raises chip utilization ~3x at 27.8M-param NCSN++ sizes)
+    # serving mode: group files by padded-length bucket (lengths probed
+    # first — waveforms are loaded per group, not held all in memory), then
+    # run groups of `--batch` through the enhancer, whose `minibatch` row
+    # padding keeps one compiled shape per bucket even for ragged tails.
+    # Reverse-diffusion compute is embarrassingly batch-parallel; batching
+    # raises chip utilization ~3x at 27.8M-param NCSN++ sizes.
+    def probe_len(path):
+        try:
+            from storm_tpu import native
+
+            if native.available():
+                _sr, _ch, n = native.wav_info(path)
+                return int(n)
+        except Exception:
+            pass
+        return len(load_checked(path))
+
     buckets = {}
     for f in noisy_files:
-        y = load_checked(f)
-        padded = -(-len(y) // enhancer.bucket_samples) * enhancer.bucket_samples
-        buckets.setdefault(padded, []).append((f, y))
-    for padded, items in sorted(buckets.items()):
-        for i in range(0, len(items), args.batch):
-            group = items[i : i + args.batch]
-            ys = np.stack(
-                [np.pad(y, (0, padded - len(y))) for _, y in group]
-            )
+        buckets.setdefault(enhancer.padded_len(probe_len(f)), []).append(f)
+
+    for padded, files in sorted(buckets.items()):
+        for i in range(0, len(files), args.batch):
+            group = files[i : i + args.batch]
+            waves = [load_checked(f) for f in group]
+            ys = np.stack([np.pad(y, (0, padded - len(y))) for y in waves])
             key, k = jax.random.split(key)
             t0 = time.perf_counter()
             x_hats, nfe = enhancer(ys, k)
             elapsed = time.perf_counter() - t0
-            audio_sec = sum(len(y) for _, y in group) / model_sr
-            for (f, y), x_hat in zip(group, np.asarray(x_hats)):
+            audio_sec = sum(len(y) for y in waves) / model_sr
+            for f, y, x_hat in zip(group, waves, np.asarray(x_hats)):
                 out = os.path.join(args.enhanced_dir, os.path.basename(f))
                 save_wav(out, x_hat[: len(y)], model_sr)
                 print(os.path.basename(f))

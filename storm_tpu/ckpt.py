@@ -25,9 +25,21 @@ from .models import TrainState
 
 
 def save_checkpoint(path: str, state: TrainState, config: dict):
-    """Save state + config under `path` (replacing any existing)."""
+    """Save state + config under `path` (replacing an existing checkpoint).
+
+    Refuses to delete a pre-existing directory that does not look like a
+    checkpoint written by this function (guards against an --out pointing
+    at a working directory)."""
     path = os.path.abspath(path)
     if os.path.exists(path):
+        looks_like_ckpt = os.path.exists(
+            os.path.join(path, "config.json")
+        ) and os.path.exists(os.path.join(path, "state"))
+        if os.listdir(path) and not looks_like_ckpt:
+            raise ValueError(
+                f"refusing to overwrite {path}: exists and is not a "
+                "storm-tpu checkpoint directory"
+            )
         shutil.rmtree(path)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     state = jax.device_get(state)

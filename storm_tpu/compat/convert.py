@@ -46,22 +46,49 @@ def main():
 
     params, ema, hparams = load_reference_checkpoint(args.ckpt, mode=args.mode)
 
+    if not jax.tree.leaves(params):
+        raise SystemExit(
+            f"no parameters found under the expected prefixes for mode "
+            f"{args.mode!r} — is this really a {args.mode} checkpoint? "
+            "(storm checkpoints use denoiser_net./score_net., score-only "
+            "and denoiser-only use dnn.)"
+        )
+
     config = {
         "mode": {"storm": "regen-joint-training"}.get(args.mode, args.mode)
     }
+    if args.mode == "storm" and hparams.get("mode"):
+        config["mode"] = hparams["mode"]
     for k in _HPARAM_KEYS:
         if k in hparams and isinstance(hparams[k], (int, float, str, bool)):
             config[k] = hparams[k]
     for kv in args.set:
+        if "=" not in kv:
+            ap.error(f"--set expects KEY=VALUE, got {kv!r}")
         k, v = kv.split("=", 1)
         try:
             config[k] = json.loads(v)
         except json.JSONDecodeError:
             config[k] = v
-    if config["mode"] == "regen-joint-training" and hparams.get("mode"):
-        config["mode"] = hparams["mode"]
 
-    model = build_model(dict(config))  # validates the config
+    # validate converted tree structure + shapes against the config's model
+    model = build_model(dict(config))
+    expected = jax.eval_shape(
+        lambda: model.init_params(jax.random.PRNGKey(0), (1, 256, 64))
+    )
+    exp_shapes, exp_tree = jax.tree.flatten(
+        jax.tree.map(lambda a: tuple(a.shape), expected)
+    )
+    got_shapes, got_tree = jax.tree.flatten(
+        jax.tree.map(lambda a: tuple(a.shape), params)
+    )
+    if exp_tree != got_tree or exp_shapes != got_shapes:
+        raise SystemExit(
+            "converted parameter tree does not match the model built from "
+            "the config — architecture hparams (nf/ch_mult/image_size/...) "
+            "likely differ; pass them with --set key=value"
+        )
+
     state = init_train_state(params, make_optimizer(config.get("lr", 1e-4)))
     state = state.replace(ema_params=ema)
     save_checkpoint(args.out, state, config)
@@ -69,7 +96,6 @@ def main():
     print(f"converted {args.ckpt} -> {args.out} ({n/1e6:.2f}M params, "
           f"mode={config['mode']}); model config: "
           f"{json.dumps({k: v for k, v in config.items() if k != 'mode'})[:200]}")
-    del model
 
 
 if __name__ == "__main__":

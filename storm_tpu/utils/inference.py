@@ -30,6 +30,10 @@ class BucketedEnhancer:
         self.minibatch = minibatch  # sequential chunking (sgmse/model.py:210-222)
         self._cache: Dict[int, object] = {}
 
+    def padded_len(self, T: int) -> int:
+        """Bucketed (compile-cache) input length for a T-sample utterance."""
+        return -(-T // self.bucket_samples) * self.bucket_samples
+
     def _get(self, padded_len: int):
         fn = self._cache.get(padded_len)
         if fn is None:
@@ -42,7 +46,7 @@ class BucketedEnhancer:
         squeeze = y.ndim == 1
         y = np.atleast_2d(np.asarray(y, np.float32))
         T = y.shape[-1]
-        padded = -(-T // self.bucket_samples) * self.bucket_samples
+        padded = self.padded_len(T)
         y_pad = np.pad(y, [(0, 0), (0, padded - T)])
         if self.minibatch is not None and y_pad.shape[0] > self.minibatch:
             chunks, nfe = [], 0

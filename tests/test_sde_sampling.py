@@ -185,3 +185,47 @@ def test_pc_sampler_under_jit_and_intermediate():
     )
     traj = f(jax.random.PRNGKey(0))
     assert traj.shape == (10, 1, 1, 4, 4, 2)
+
+
+def test_etd_exponential_integrators():
+    """ETD1/ETD2 exploit OUVE's linear drift: both converge to the rk4
+    reference, and ETD2 at NFE=10 beats Euler at NFE=50."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from storm_tpu.sampling.samplers import ode_sample
+    from storm_tpu.sde.sdes import OUVESDE, OUVPSDE
+
+    sde = OUVESDE()
+    y = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 4, 6, 2)) * 0.3,
+        jnp.float32,
+    )
+
+    def score_fn(x, t, ysde):
+        std = sde._std(t)
+        return (ysde - x) / (std**2 + 0.1)[:, None, None, None]
+
+    ref, _ = ode_sample(jax.random.PRNGKey(1), sde, score_fn, y, N=2000,
+                        method="rk4", denoise=False)
+
+    def err(method, N):
+        x, nfe = ode_sample(jax.random.PRNGKey(1), sde, score_fn, y, N=N,
+                            method=method, denoise=False)
+        return float(jnp.max(jnp.abs(x - ref))), nfe
+
+    e_euler50, nfe_e = err("euler", 50)
+    e_etd1_50, _ = err("etd1", 50)
+    e_etd2_10, nfe_2 = err("etd2", 10)
+    assert nfe_e == 50 and nfe_2 == 20
+    assert e_etd1_50 < e_euler50          # exact linear part helps at equal NFE
+    assert e_etd2_10 < e_euler50          # 2.5x fewer NFE, better accuracy
+    assert e_etd2_10 < 0.01
+
+    # OUVP has no constant linear drift -> clear error
+    import pytest
+
+    with pytest.raises(ValueError):
+        ode_sample(jax.random.PRNGKey(0), OUVPSDE(beta_min=0.1, beta_max=1.0),
+                   score_fn, y, N=4, method="etd1")

@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--train", action="store_true",
+                    help="measure training throughput (joint StoRM step) "
+                    "instead of enhancement")
     args = ap.parse_args()
 
     _enable_jax_compilation_cache()
@@ -65,6 +68,38 @@ def main():
     hop = model.stft_config.hop_length
     num_samples = (args.frames - 1) * hop  # reference crop formula
     audio_sec = args.batch * num_samples / sr
+
+    if args.train:
+        spec_shape = (args.batch, model.stft_config.num_freqs, args.frames)
+        state = model.init_state(jax.random.PRNGKey(0), spec_shape)
+        kx, ky = jax.random.split(jax.random.PRNGKey(1))
+        batch = (
+            jax.random.normal(kx, spec_shape + (2,)) * 0.1,
+            jax.random.normal(ky, spec_shape + (2,)) * 0.1,
+        )
+        step = model.make_train_step(donate=False)
+        state, aux = step(state, batch, jax.random.PRNGKey(2))
+        _ = float(aux["loss"])
+        times = []
+        for i in range(args.reps):
+            t0 = time.perf_counter()
+            for _j in range(5):
+                state, aux = step(state, batch, jax.random.PRNGKey(3 + i))
+            _ = float(aux["loss"])
+            times.append((time.perf_counter() - t0) / 5)
+        wall = min(times)
+        print(json.dumps({
+            "metric": "train_utt_per_sec_per_chip",
+            "value": round(args.batch / wall, 2),
+            "unit": "utterances/s/chip",
+            "vs_baseline": None,
+            "detail": {
+                "batch": args.batch, "frames": args.frames,
+                "step_ms": round(wall * 1000, 1), "dtype": args.dtype,
+                "backend": jax.default_backend(),
+            },
+        }))
+        return
 
     params = model.init_params(jax.random.PRNGKey(0), (1, 256, 64))
     y = jnp.asarray(

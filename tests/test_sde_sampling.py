@@ -229,3 +229,39 @@ def test_etd_exponential_integrators():
     with pytest.raises(ValueError):
         ode_sample(jax.random.PRNGKey(0), OUVPSDE(beta_min=0.1, beta_max=1.0),
                    score_fn, y, N=4, method="etd1")
+
+
+def test_etd_predictor_drop_in():
+    """The etd predictor matches euler_maruyama trajectories at high N
+    (same noise stream) and plugs into pc_sample; OUVP is rejected."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from storm_tpu.sampling.samplers import pc_sample
+    from storm_tpu.sde.sdes import OUVESDE, OUVPSDE
+
+    sde = OUVESDE()
+    y = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 4, 6, 2)) * 0.3,
+        jnp.float32,
+    )
+
+    def score_fn(x, t, ysde):
+        std = sde._std(t)
+        return (ysde - x) / (std**2 + 0.1)[:, None, None, None]
+
+    x_em, nfe_em = pc_sample(jax.random.PRNGKey(3), sde, score_fn, y,
+                             predictor="euler_maruyama", corrector="none",
+                             N=400)
+    x_etd, nfe_etd = pc_sample(jax.random.PRNGKey(3), sde, score_fn, y,
+                               predictor="etd", corrector="none", N=400)
+    assert nfe_em == nfe_etd == 400
+    np.testing.assert_allclose(
+        np.asarray(x_etd), np.asarray(x_em), atol=5e-3
+    )
+    with pytest.raises(ValueError):
+        pc_sample(jax.random.PRNGKey(0),
+                  OUVPSDE(beta_min=0.1, beta_max=1.0), score_fn, y,
+                  predictor="etd", corrector="none", N=4)

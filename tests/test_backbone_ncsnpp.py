@@ -109,3 +109,31 @@ def test_grad_flows():
     # most other params must receive nonzero gradient
     nonzero = sum(float(jnp.any(jnp.abs(l) > 0)) for l in leaves)
     assert nonzero > len(leaves) * 0.8
+
+
+@pytest.mark.parametrize("kw", [
+    dict(resblock_type="ddpm"),
+    dict(progressive="residual"),
+    dict(progressive_input="residual"),
+    dict(progressive="none", progressive_input="none"),
+    dict(progressive_combine="cat"),
+    dict(fir=False),
+    dict(embedding_type="positional"),
+    dict(resblock_type="ddpm", progressive="residual",
+         progressive_input="residual", fir=False),
+])
+def test_config_variants(kw):
+    """Every reference configuration axis constructs and runs: resblock
+    types, progressive modes, combine methods, FIR on/off, embeddings
+    (sgmse/backbones/ncsnpp.py:40-65)."""
+    model = NCSNpp.from_kwargs(input_channels=4, nf=16, ch_mult=(1, 1),
+                               image_size=64, **kw)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 2, 64, 32, 2)),
+        jnp.float32,
+    )
+    t = jnp.full((1,), 0.5)
+    vs = model.init(jax.random.PRNGKey(0), x, t)
+    out = model.apply(vs, x, t)
+    assert out.shape == (1, 1, 64, 32, 2)
+    assert np.isfinite(np.asarray(out)).all()

@@ -162,3 +162,51 @@ def test_pesq_gated():
     v = pesq_wb(16000, s, s)
     # package absent in this image -> NaN; present -> ~4.5
     assert np.isnan(v) or v > 4.0
+
+
+def test_paired_files_all_formats(tmp_path):
+    """Directory-layout conventions for every dataset format
+    (sgmse/data_module.py:38-59)."""
+    from storm_tpu.data import paired_files
+    from storm_tpu.data.audio import save_wav
+    import numpy as np
+
+    wav = 0.1 * np.sin(np.arange(4000) / 5.0)
+
+    def mk(*parts, name="a.wav"):
+        d = tmp_path.joinpath(*parts)
+        d.mkdir(parents=True, exist_ok=True)
+        save_wav(d / name, wav)
+
+    # wsj0/vctk: tr|cv|tt / clean|noisy
+    mk("w", "tr", "clean"); mk("w", "tr", "noisy")
+    c, n = paired_files(str(tmp_path / "w"), "train", "wsj0")
+    assert len(c) == len(n) == 1
+    c, n = paired_files(str(tmp_path / "w"), "train", "vctk")
+    assert len(c) == 1
+
+    # voicebank: train|valid|test / clean|noisy
+    mk("vb", "valid", "clean"); mk("vb", "valid", "noisy")
+    c, n = paired_files(str(tmp_path / "vb"), "valid", "voicebank")
+    assert len(c) == len(n) == 1
+
+    # dns: noisy files named *_fileid_N, clean clean_fileid_N
+    mk("dns", "test", "noisy", name="book_fileid_7.wav")
+    mk("dns", "test", "clean", name="clean_fileid_7.wav")
+    c, n = paired_files(str(tmp_path / "dns"), "test", "dns")
+    assert len(n) == 1 and c[0].endswith("clean_fileid_7.wav")
+
+    # reverb_wsj0: anechoic|reverb
+    mk("rv", "cv", "anechoic"); mk("rv", "cv", "reverb")
+    c, n = paired_files(str(tmp_path / "rv"), "valid", "reverb_wsj0")
+    assert len(c) == len(n) == 1
+
+    # timit: audio/tr / clean|noisy
+    mk("tm", "audio", "tt", "clean"); mk("tm", "audio", "tt", "noisy")
+    c, n = paired_files(str(tmp_path / "tm"), "test", "timit")
+    assert len(c) == len(n) == 1
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        paired_files(str(tmp_path), "train", "nope")

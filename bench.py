@@ -22,21 +22,7 @@ import numpy as np
 
 
 
-def _enable_jax_compilation_cache():
-    """Persistent XLA compile cache: reruns of the CLIs skip the 20-40 s
-    cold compiles (safe to share across sessions; keyed by HLO+flags)."""
-    import os
 
-    import jax
-
-    cache = os.environ.get(
-        "STORM_TPU_JAX_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "storm_tpu_jax"),
-    )
-    if cache and cache != "0":
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def main():
@@ -55,7 +41,8 @@ def main():
                     "instead of enhancement")
     args = ap.parse_args()
 
-    _enable_jax_compilation_cache()
+    from storm_tpu.utils.jaxcache import enable_jax_compilation_cache
+    enable_jax_compilation_cache()
     from storm_tpu.models import StochasticRegenerationModel
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

@@ -15,21 +15,7 @@ import time
 
 
 
-def _enable_jax_compilation_cache():
-    """Persistent XLA compile cache: reruns of the CLIs skip the 20-40 s
-    cold compiles (safe to share across sessions; keyed by HLO+flags)."""
-    import os
 
-    import jax
-
-    cache = os.environ.get(
-        "STORM_TPU_JAX_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "storm_tpu_jax"),
-    )
-    if cache and cache != "0":
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def main():
@@ -60,7 +46,8 @@ def main():
     import jax
     import numpy as np
 
-    _enable_jax_compilation_cache()
+    from storm_tpu.utils.jaxcache import enable_jax_compilation_cache
+    enable_jax_compilation_cache()
 
     from storm_tpu.ckpt import load_checkpoint
     from storm_tpu.data.audio import load_wav, save_wav

@@ -37,6 +37,7 @@ class SpecsDataModule:
         self.train_set = None
         self.valid_set = None
         self.test_set = None
+        self._train_loader = None
 
     @property
     def stft_config(self) -> STFTConfig:
@@ -87,10 +88,14 @@ class SpecsDataModule:
             )
 
     def train_dataloader(self) -> DataLoader:
-        return DataLoader(
-            self.train_set, batch_size=self.batch_size, shuffle=True,
-            num_workers=self.num_workers, seed=self.seed,
-        )
+        # one persistent loader: its RNG advances across epochs, so each
+        # epoch gets a fresh shuffle permutation (torch DataLoader behavior)
+        if self._train_loader is None:
+            self._train_loader = DataLoader(
+                self.train_set, batch_size=self.batch_size, shuffle=True,
+                num_workers=self.num_workers, seed=self.seed,
+            )
+        return self._train_loader
 
     def val_dataloader(self) -> DataLoader:
         return DataLoader(

@@ -93,7 +93,15 @@ class Specs:
         self.shuffle_spec = shuffle_spec
         self.normalize_audio = normalize_audio
         self.hop_length = hop_length
-        self.rng = rng if rng is not None else np.random.default_rng(10)
+        # np.random.Generator is not thread-safe and __getitem__ runs in a
+        # thread pool: derive a fresh per-call generator from a base seed
+        # and an atomic access counter (GIL-atomic itertools.count)
+        import itertools
+
+        self._base_seed = (
+            int(rng.integers(2**31)) if rng is not None else 10
+        )
+        self._counter = itertools.count()
 
     @property
     def target_len(self) -> int:
@@ -125,7 +133,10 @@ class Specs:
         pad = max(target_len - current_len, 0)
         if pad == 0:
             if self.shuffle_spec:
-                start = int(self.rng.uniform(0, current_len - target_len))
+                rng = np.random.default_rng(
+                    (self._base_seed, i, next(self._counter))
+                )
+                start = int(rng.uniform(0, current_len - target_len))
             else:
                 start = int((current_len - target_len) / 2)
             x = x[..., start : start + target_len]

@@ -61,19 +61,20 @@ def obtain_noise_file(
                 noise = noise[..., start : start + len_speech]
             return noise[:channels], sample_rate
         base = candidates[rng.integers(len(candidates))][: -len(".CH1.wav")]
-        ch1, noise_sr = load_wav(base + ".CH1.wav")
+        # resample each channel to the target rate BEFORE cropping so the
+        # excerpt length/crop bounds are in target-rate samples
+        chans = []
+        noise_sr = sample_rate
+        for i_ch in range(channels):
+            sig, noise_sr = load_wav(base + f".CH{i_ch + 1}.wav")
+            chans.append(_resample(sig[0], noise_sr, sample_rate))
+        noise = np.stack(chans)
         start = (
-            rng.integers(ch1.shape[-1] - len_speech)
-            if ch1.shape[-1] > len_speech
+            rng.integers(noise.shape[-1] - len_speech)
+            if noise.shape[-1] > len_speech
             else 0
         )
-        chans = []
-        for i_ch in range(channels):
-            sig, _ = load_wav(base + f".CH{i_ch + 1}.wav")
-            chans.append(sig[0, start : start + len_speech])
-        noise = np.stack(chans)
-        noise = _resample(noise, noise_sr, sample_rate)
-        return noise, sample_rate
+        return noise[:, start : start + len_speech], sample_rate
 
     elif dataset == "qut":
         raise NotImplementedError("qut noise sampling (as in the reference)")

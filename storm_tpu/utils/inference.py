@@ -48,14 +48,18 @@ class BucketedEnhancer:
         T = y.shape[-1]
         padded = self.padded_len(T)
         y_pad = np.pad(y, [(0, 0), (0, padded - T)])
-        if self.minibatch is not None and y_pad.shape[0] > self.minibatch:
+        if self.minibatch is not None:
+            # chunked serving: every chunk is row-padded to `minibatch`, so
+            # ALL calls (including a lone ragged group) share one compiled
+            # shape per bucket; each chunk gets its own PRNG stream
             chunks, nfe = [], 0
             for i in range(0, y_pad.shape[0], self.minibatch):
                 chunk = y_pad[i : i + self.minibatch]
                 rows = chunk.shape[0]
                 if rows < self.minibatch:  # keep the jit cache to one shape
                     chunk = np.pad(chunk, [(0, self.minibatch - rows), (0, 0)])
-                xc, n = self._get(padded)(self.params, chunk, key)
+                key, k = jax.random.split(key)
+                xc, n = self._get(padded)(self.params, chunk, k)
                 chunks.append(np.asarray(xc)[:rows])
                 nfe += int(n)
             x_hat = np.concatenate(chunks, axis=0)

@@ -24,21 +24,7 @@ import numpy as np
 
 
 
-def _enable_jax_compilation_cache():
-    """Persistent XLA compile cache: reruns of the CLIs skip the 20-40 s
-    cold compiles (safe to share across sessions; keyed by HLO+flags)."""
-    import os
 
-    import jax
-
-    cache = os.environ.get(
-        "STORM_TPU_JAX_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "storm_tpu_jax"),
-    )
-    if cache and cache != "0":
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def parse_args():
@@ -139,7 +125,8 @@ def main():
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    _enable_jax_compilation_cache()
+    from storm_tpu.utils.jaxcache import enable_jax_compilation_cache
+    enable_jax_compilation_cache()
     from storm_tpu.ckpt import CheckpointManager, load_checkpoint
     from storm_tpu.data import SpecsDataModule
     from storm_tpu.models import StochasticRegenerationModel, wav_to_spec
@@ -226,14 +213,21 @@ def main():
     # --- compiled programs -------------------------------------------------
     train_step = model.make_train_step(donate=False)
     if args.return_time:
-        prepare = jax.jit(lambda b: b)  # time-domain batches pass through
-    else:
-        prepare = jax.jit(
-            lambda b: (
-                wav_to_spec(b[0], model.stft_config, model.transform),
-                wav_to_spec(b[1], model.stft_config, model.transform),
-            )
+        # the loss pipeline is spectral for every model here; time-domain
+        # backbones (ConvTasNet/ae-ncsnpp) are converted automatically via
+        # FORCE_STFT_OUT inside the model layer, so the reference's
+        # return_time path adds nothing and its raw waveforms would not fit
+        # the spec-shaped losses
+        raise SystemExit(
+            "--return_time is not supported: time-domain backbones are "
+            "handled automatically (FORCE_STFT_OUT); train on specs."
         )
+    prepare = jax.jit(
+        lambda b: (
+            wav_to_spec(b[0], model.stft_config, model.transform),
+            wav_to_spec(b[1], model.stft_config, model.transform),
+        )
+    )
     valid_loss_fn = jax.jit(
         lambda params, key, batch: model.loss_fn(params, key, batch, False)[0]
     )
@@ -305,7 +299,11 @@ def main():
             device_batch = jax.device_put(
                 (jnp.asarray(batch[0]), jnp.asarray(batch[1])), data_sharding
             )
-            vlosses.append(float(valid_loss_fn(state.params, k, prepare(device_batch))))
+            # validation runs with EMA (shadow) params like the reference's
+            # eval-mode EMA swap (sgmse/model.py:97-111)
+            vlosses.append(
+                float(valid_loss_fn(state.ema_params, k, prepare(device_batch)))
+            )
         valid_loss = float(np.mean(vlosses)) if vlosses else float("nan")
 
         # enhancement metrics on EMA params (reference model.py:605-622);

@@ -114,6 +114,19 @@ class ScoreModel:
             raise NotImplementedError(self.loss_type)
         return jnp.mean(per)
 
+    def loss_given_tz(self, params, batch, t, z, train: bool = False, rng=None):
+        """DSM loss with injected diffusion times `t` (B,) and noise `z`
+        (packed-real, x-shaped) — the deterministic core of `loss_fn`, used
+        directly by the reference-parity tests (sgmse/model.py:138-154)."""
+        x, y = batch  # compressed specs (B, F, T, 2)
+        mean, std = self.sde.marginal_prob(x, t, y)
+        sigmas = right_pad_dims(std, x)
+        perturbed = mean + sigmas * z
+        score = self.score_apply(params, perturbed, t, y, train=train, rng=rng)
+        err = score * sigmas + z
+        loss = self._err_loss(err)
+        return loss, {"loss": loss}
+
     def loss_fn(self, params, key, batch, train: bool = True):
         """Denoising score-matching loss (sgmse/model.py:138-154)."""
         x, y = batch  # compressed specs (B, F, T, 2)
@@ -124,14 +137,8 @@ class ScoreModel:
             * (self.sde.T - self.t_eps)
             + self.t_eps
         )
-        mean, std = self.sde.marginal_prob(x, t, y)
         z = cplx.complex_normal(kz, x.shape[:-1])
-        sigmas = right_pad_dims(std, x)
-        perturbed = mean + sigmas * z
-        score = self.score_apply(params, perturbed, t, y, train=train, rng=kd)
-        err = score * sigmas + z
-        loss = self._err_loss(err)
-        return loss, {"loss": loss}
+        return self.loss_given_tz(params, batch, t, z, train=train, rng=kd)
 
     def make_train_step(self, donate: bool = True):
         """One jitted optimizer step incl. EMA (sgmse/model.py:80-83)."""

@@ -199,24 +199,21 @@ class StochasticRegenerationModel:
         take the batch mean; replicated for loss-curve parity."""
         return 0.5 * jnp.sum(v)
 
-    def loss_fn(self, params, key, batch, train: bool = True):
-        """Joint loss (sgmse/model.py:560-595)."""
+    def loss_given_tz(
+        self, params, batch, t, z, train: bool = False, rngs=(None, None)
+    ):
+        """Joint loss with injected diffusion times `t` (B,) and noise `z`
+        (packed-real, x-shaped) — the deterministic core of `loss_fn`, used
+        directly by the reference-parity tests (sgmse/model.py:560-595)."""
         x, y = batch
-        kt, kz, kd1, kd2 = jax.random.split(key, 4)
-        B = x.shape[0]
+        kd1, kd2 = rngs
 
         y_denoised = self.forward_denoiser(params, y, train=train, rng=kd1)
         if self.mode == "regen-freeze-denoiser":
             y_denoised = jax.lax.stop_gradient(y_denoised)
 
-        t = (
-            jax.random.uniform(kt, (B,), jnp.float32)
-            * (self.sde.T - self.t_eps)
-            + self.t_eps
-        )
         # SDE input is the DENOISED estimate (sgmse/model.py:569-578)
         mean, std = self.sde.marginal_prob(x, t, y_denoised)
-        z = cplx.complex_normal(kz, x.shape[:-1])
         sigmas = right_pad_dims(std, x)
         perturbed = mean + sigmas * z
 
@@ -251,6 +248,21 @@ class StochasticRegenerationModel:
         if loss_denoiser is not None:
             aux["loss_denoiser"] = loss_denoiser
         return loss, aux
+
+    def loss_fn(self, params, key, batch, train: bool = True):
+        """Joint loss (sgmse/model.py:560-595)."""
+        x, y = batch
+        kt, kz, kd1, kd2 = jax.random.split(key, 4)
+        B = x.shape[0]
+        t = (
+            jax.random.uniform(kt, (B,), jnp.float32)
+            * (self.sde.T - self.t_eps)
+            + self.t_eps
+        )
+        z = cplx.complex_normal(kz, x.shape[:-1])
+        return self.loss_given_tz(
+            params, batch, t, z, train=train, rngs=(kd1, kd2)
+        )
 
     def make_train_step(self, donate: bool = True):
         tx = make_optimizer(self.lr)

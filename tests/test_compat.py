@@ -1,10 +1,11 @@
 """Round-trip tests for the torch checkpoint converter.
 
-Without the reference's CUDA build we cannot instantiate its torch model,
-so correctness is established by bijectivity: flax params -> torch-layout
-state_dict -> flax params must be the identity, and the torch-layout keys
-must follow the reference's positional naming scheme
-(`all_modules.{i}.<submodule>.<param>`, sgmse/backbones/ncsnpp.py:273).
+Bijectivity layer: flax params -> torch-layout state_dict -> flax params
+must be the identity, and the torch-layout keys must follow the reference's
+positional naming scheme (`all_modules.{i}.<submodule>.<param>`,
+sgmse/backbones/ncsnpp.py:273). Ground-truth parity against the ACTUAL
+reference torch model (forward goldens, _step losses, Lightning/EMA ckpt)
+lives in tests/test_reference_parity.py.
 """
 import jax
 import jax.numpy as jnp

@@ -1,0 +1,289 @@
+"""Golden parity tests against the ACTUAL reference implementation.
+
+The reference sgmse package is imported on CPU torch via tests/ref_loader.py
+(CUDA ops stubbed with pure-torch equivalents). These tests close the
+round-1 gap where converter/goldens were validated only against hand-rebuilt
+torch primitives: here the ground truth is `sgmse.backbones.ncsnpp.NCSNpp`
+itself (sgmse/backbones/ncsnpp.py:281-450), the Lightning state_dict/EMA
+layout (sgmse/model.py:86-95), and the `_step` losses
+(sgmse/model.py:138-154, 560-595).
+"""
+import os
+import tempfile
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ref_loader import load_reference, load_reference_model_module
+
+from storm_tpu.backbones.ncsnpp import NCSNpp as MyNCSNpp
+from storm_tpu.compat import convert_backbone_state_dict
+from storm_tpu.compat.torch_ckpt import load_reference_checkpoint
+from storm_tpu.models.score import ScoreModel as MyScore
+from storm_tpu.models.storm import StochasticRegenerationModel as MyStoRM
+
+
+@pytest.fixture(scope="module")
+def ref_backbones():
+    load_reference()
+    import sgmse.backbones as RB
+
+    return RB
+
+
+@pytest.fixture(scope="module")
+def ref_model_mod():
+    return load_reference_model_module()
+
+
+def _pack(tc: torch.Tensor) -> jnp.ndarray:
+    """torch complex (B,C,F,T) -> packed-real jnp (B,C,F,T,2)."""
+    return jnp.asarray(np.stack([tc.real.numpy(), tc.imag.numpy()], axis=-1))
+
+
+def _unpack_torch(out: torch.Tensor) -> np.ndarray:
+    return np.stack([out.real.numpy(), out.imag.numpy()], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# op-stub sanity: the pure-torch upfirdn2d stand-in must agree with this
+# framework's XLA lowering (two independent implementations of the same op).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("up,down,pad", [(1, 1, (1, 1)), (2, 1, (2, 1)),
+                                         (1, 2, (1, 1)), (2, 2, (3, 0))])
+def test_upfirdn_stub_matches_xla(up, down, pad):
+    load_reference()
+    from sgmse.backbones.ncsnpp_utils.op import upfirdn2d as torch_upfirdn
+
+    from storm_tpu.nn.resample import upfirdn2d as jax_upfirdn
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 12, 10)).astype(np.float32)
+    k = np.outer([1, 3, 3, 1], [1, 3, 3, 1]).astype(np.float32) / 64.0
+    out_t = torch_upfirdn(
+        torch.from_numpy(x), torch.from_numpy(k), up=up, down=down, pad=pad
+    ).numpy()
+    # jax path is NHWC
+    out_j = np.asarray(
+        jax_upfirdn(
+            jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(k),
+            up=up, down=down, pad=pad,
+        )
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(out_t, out_j, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Full NCSN++ forward goldens: random-init reference model -> state_dict ->
+# convert_backbone_state_dict -> flax forward; float32-noise agreement.
+# ---------------------------------------------------------------------------
+
+CONFIGS = {
+    "tiny-score": (dict(nf=16, ch_mult=(1, 2), image_size=64), (64, 32)),
+    "tiny-disc": (
+        dict(nf=16, ch_mult=(1, 2), image_size=64, discriminative=True),
+        (64, 32),
+    ),
+    "tiny-attn": (
+        dict(nf=16, ch_mult=(1, 2, 2), image_size=64,
+             attn_resolutions=(32, 16), num_res_blocks=2),
+        (64, 32),
+    ),
+    "default-27.8M": (dict(), (256, 64)),
+}
+
+
+@pytest.mark.parametrize("name", list(CONFIGS))
+def test_ref_ncsnpp_forward(ref_backbones, name):
+    kwargs, (F, T) = CONFIGS[name]
+    ref = ref_backbones.NCSNpp(**kwargs)
+    _assert_forward_parity(ref, kwargs, F, T)
+
+
+@pytest.mark.parametrize("cls_name,kwargs", [
+    ("NCSNpp12M", dict(nf=96, ch_mult=(1, 2, 2, 1))),
+    ("NCSNpp6M", dict(nf=96, ch_mult=(1, 1, 1, 1))),
+])
+def test_ref_ncsnpp_size_variants(ref_backbones, cls_name, kwargs):
+    """The registered size variants (sgmse/backbones/ncsnpp.py:479-513)."""
+    ref = getattr(ref_backbones, cls_name)()
+    _assert_forward_parity(ref, kwargs, 256, 64)
+
+
+def _assert_forward_parity(ref, kwargs, F, T, t_val=0.7):
+    ref.eval()
+    disc = kwargs.get("discriminative", False)
+    Cc = 1 if disc else 2
+    params = convert_backbone_state_dict(ref.state_dict())
+    my = MyNCSNpp.from_kwargs(**kwargs)
+
+    rng = np.random.default_rng(0)
+    xr = rng.standard_normal((1, Cc, F, T)).astype(np.float32) * 0.3
+    xi = rng.standard_normal((1, Cc, F, T)).astype(np.float32) * 0.3
+    xt = torch.complex(torch.from_numpy(xr), torch.from_numpy(xi))
+    tt = None if disc else torch.full((1,), t_val)
+    with torch.no_grad():
+        out_t = _unpack_torch(ref(xt, tt))
+
+    xp = jnp.asarray(np.stack([xr, xi], axis=-1))
+    tj = None if disc else jnp.full((1,), t_val, jnp.float32)
+    out_j = np.asarray(
+        my.apply({"params": jax.tree.map(jnp.asarray, params)}, xp, tj)
+    )
+    scale = np.abs(out_t).max()
+    np.testing.assert_allclose(
+        out_j, out_t, atol=max(1e-5, 1e-5 * scale),
+        err_msg=f"NCSN++ forward mismatch for {kwargs}",
+    )
+
+
+# ---------------------------------------------------------------------------
+# _step loss parity on a fixed batch/noise (sgmse/model.py:138-154, 560-595)
+# ---------------------------------------------------------------------------
+
+_SDE_KW = dict(theta=1.5, sigma_min=0.05, sigma_max=0.5, N=1000)
+_TINY_KW = dict(nf=16, ch_mult=(1, 2), image_size=64, **_SDE_KW)
+
+
+class _DummyDM:
+    def __init__(self, **kw):
+        self.batch_size = kw.get("batch_size", 8)
+
+
+def _fixed_batch(B=2, F=64, T=32, seed=3):
+    g = torch.Generator().manual_seed(seed)
+    x = torch.randn(B, 1, F, T, dtype=torch.complex64, generator=g) * 0.3
+    y = torch.randn(B, 1, F, T, dtype=torch.complex64, generator=g) * 0.3
+    u = torch.tensor([0.35, 0.75])
+    z = torch.randn(B, 1, F, T, dtype=torch.complex64, generator=g)
+    return x, y, u, z
+
+
+class _patched_rand:
+    """Temporarily pin torch.rand / torch.randn_like to fixed tensors so the
+    reference `_step` becomes deterministic."""
+
+    def __init__(self, u, z):
+        self.u, self.z = u, z
+
+    def __enter__(self):
+        self._rand, self._rl = torch.rand, torch.randn_like
+        torch.rand = lambda *a, **k: self.u.clone()
+        torch.randn_like = lambda *a, **k: self.z.clone()
+
+    def __exit__(self, *exc):
+        torch.rand, torch.randn_like = self._rand, self._rl
+
+
+def test_ref_storm_step_loss(ref_model_mod):
+    m = ref_model_mod.StochasticRegenerationModel(
+        backbone_denoiser="ncsnpp", backbone_score="ncsnpp", sde="ouve",
+        data_module_cls=_DummyDM, loss_type_denoiser="mse",
+        loss_type_score="mse", condition="both", **_TINY_KW,
+    )
+    m.eval(no_ema=True)
+    x, y, u, z = _fixed_batch()
+    with _patched_rand(u, z), torch.no_grad():
+        loss_t, ls_t, ld_t = m._step((x, y), 0)
+
+    sd = m.state_dict()
+    params = {
+        "denoiser": convert_backbone_state_dict(sd, prefix="denoiser_net."),
+        "score": convert_backbone_state_dict(sd, prefix="score_net."),
+    }
+    my = MyStoRM.create(
+        backbone_denoiser="ncsnpp", backbone_score="ncsnpp", sde="ouve",
+        condition="both", loss_type_denoiser="mse", loss_type_score="mse",
+        **_TINY_KW,
+    )
+    t_used = jnp.asarray((u * (1.0 - 0.03) + 0.03).numpy())
+    batch = (_pack(x)[:, 0], _pack(y)[:, 0])
+    loss_j, aux = my.loss_given_tz(
+        jax.tree.map(jnp.asarray, params), batch, t_used, _pack(z)[:, 0]
+    )
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(aux["loss_score"]), float(ls_t), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(aux["loss_denoiser"]), float(ld_t), rtol=1e-5
+    )
+
+
+def test_ref_score_step_loss(ref_model_mod):
+    m = ref_model_mod.ScoreModel(
+        backbone="ncsnpp", sde="ouve", data_module_cls=_DummyDM,
+        loss_type="mse", **_TINY_KW,
+    )
+    m.eval(no_ema=True)
+    x, y, u, z = _fixed_batch()
+    with _patched_rand(u, z), torch.no_grad():
+        loss_t = m._step((x, y), 0)
+
+    params = convert_backbone_state_dict(m.state_dict(), prefix="dnn.")
+    my = MyScore.create(backbone="ncsnpp", sde="ouve", loss_type="mse",
+                        **_TINY_KW)
+    t_used = jnp.asarray((u * (1.0 - 0.03) + 0.03).numpy())
+    batch = (_pack(x)[:, 0], _pack(y)[:, 0])
+    loss_j, _ = my.loss_given_tz(
+        jax.tree.map(jnp.asarray, params), batch, t_used, _pack(z)[:, 0]
+    )
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Lightning checkpoint (incl. torch-ema shadow_params) -> converter -> flax
+# forward equality for BOTH raw and EMA weights (sgmse/model.py:86-95).
+# ---------------------------------------------------------------------------
+
+def test_ref_lightning_checkpoint_e2e(ref_model_mod, tmp_path):
+    m = ref_model_mod.ScoreModel(
+        backbone="ncsnpp", sde="ouve", data_module_cls=_DummyDM,
+        loss_type="mse", **_TINY_KW,
+    )
+    m.eval(no_ema=True)
+    # synthesize a distinct EMA state (shadow != raw)
+    for s in m.ema.shadow_params:
+        s.mul_(0.9)
+    ckpt = {
+        "state_dict": m.state_dict(),
+        "ema": m.ema.state_dict(),
+        "hyper_parameters": {
+            "backbone": "ncsnpp", "sde": "ouve", "lr": 1e-4, **_SDE_KW,
+        },
+    }
+    path = str(tmp_path / "ref.ckpt")
+    torch.save(ckpt, path)
+
+    params, ema, hparams = load_reference_checkpoint(path, mode="score-only")
+    assert hparams["backbone"] == "ncsnpp"
+
+    my = MyScore.create(backbone="ncsnpp", sde="ouve", **_TINY_KW)
+    g = torch.Generator().manual_seed(7)
+    xt = torch.randn(1, 2, 64, 32, dtype=torch.complex64, generator=g) * 0.3
+    tt = torch.full((1,), 0.6)
+    tj = jnp.full((1,), 0.6, jnp.float32)
+
+    with torch.no_grad():
+        out_raw = _unpack_torch(m.dnn(xt, tt))
+    out_p = np.asarray(
+        my.dnn.apply({"params": jax.tree.map(jnp.asarray, params)},
+                     _pack(xt), tj)
+    )
+    np.testing.assert_allclose(out_p, out_raw, atol=1e-5)
+
+    m.ema.copy_to(m.parameters())
+    with torch.no_grad():
+        out_ema_t = _unpack_torch(m.dnn(xt, tt))
+    out_e = np.asarray(
+        my.dnn.apply({"params": jax.tree.map(jnp.asarray, ema)},
+                     _pack(xt), tj)
+    )
+    np.testing.assert_allclose(out_e, out_ema_t, atol=1e-5)
+    # raw and EMA genuinely differ (the test would be vacuous otherwise)
+    assert np.abs(out_p - out_e).max() > 1e-4

@@ -28,12 +28,28 @@ def main():
                         help="Checkpoint directory (from train.py).")
     parser.add_argument("--mode", required=True,
                         choices=["score-only", "denoiser-only", "storm"])
+    parser.add_argument("--sampler", type=str, choices=("pc", "ode"),
+                        default="pc",
+                        help="pc: predictor-corrector (reference default); "
+                        "ode: deterministic probability-flow integrator — "
+                        "with --ode-method etd2 this reaches comparable "
+                        "quality at far fewer steps (see BASELINE.md)")
+    parser.add_argument("--predictor", type=str, default="reverse_diffusion",
+                        choices=("reverse_diffusion", "euler_maruyama",
+                                 "etd", "none"),
+                        help="pc sampler predictor (model.enhance contract, "
+                        "sgmse/model.py:649-669); etd is this framework's "
+                        "exponential stochastic integrator")
     parser.add_argument("--corrector", type=str,
                         choices=("ald", "langevin", "none"), default="ald")
     parser.add_argument("--corrector-steps", dest="corrector_steps",
                         type=int, default=1)
     parser.add_argument("--snr", type=float, default=0.5)
     parser.add_argument("--N", type=int, default=50)
+    parser.add_argument("--ode-method", dest="ode_method", type=str,
+                        default="etd2",
+                        choices=("euler", "heun", "rk4", "etd1", "etd2"),
+                        help="integrator for --sampler ode")
     parser.add_argument("--no-ema", action="store_true",
                         help="use raw instead of EMA parameters")
     parser.add_argument("--timeit", action="store_true",
@@ -73,8 +89,9 @@ def main():
     enhancer = BucketedEnhancer(
         model, params,
         minibatch=args.batch if args.batch > 1 else None,
+        sampler_type=args.sampler, predictor=args.predictor,
         corrector=args.corrector, corrector_steps=args.corrector_steps,
-        snr=args.snr, N=args.N,
+        snr=args.snr, N=args.N, method=args.ode_method,
     )
 
     noisy_files = sorted(glob.glob(os.path.join(args.test_dir, "*.wav")))
@@ -83,12 +100,21 @@ def main():
 
     key = jax.random.PRNGKey(0)
 
+    spatial_channels = int(config.get("spatial_channels", 1))
+
     def load_checked(path):
         y, sample_sr = load_wav(path)
         assert sample_sr == model_sr, (
             "You need to make sure sample_sr matches model_sr "
             "--> resample to 16kHz"
         )
+        if spatial_channels > 1:
+            if y.shape[0] < spatial_channels:
+                raise SystemExit(
+                    f"{path}: has {y.shape[0]} channels, model needs "
+                    f"{spatial_channels}"
+                )
+            return y[:spatial_channels]  # (D, T)
         return y[0]
 
     if args.batch <= 1:
@@ -102,7 +128,7 @@ def main():
             out = os.path.join(args.enhanced_dir, os.path.basename(f))
             save_wav(out, x_hat, model_sr)
             if args.timeit:
-                rtf = elapsed / (len(x_hat) / model_sr)
+                rtf = elapsed / (x_hat.shape[-1] / model_sr)
                 print(f"{os.path.basename(f)}: nfe={nfe} rtf={rtf:.4f}")
             else:
                 print(os.path.basename(f))
@@ -123,7 +149,7 @@ def main():
                 return int(n)
         except Exception:
             pass
-        return len(load_checked(path))
+        return load_checked(path).shape[-1]
 
     buckets = {}
     for f in noisy_files:
@@ -132,16 +158,20 @@ def main():
     for padded, files in sorted(buckets.items()):
         for i in range(0, len(files), args.batch):
             group = files[i : i + args.batch]
-            waves = [load_checked(f) for f in group]
-            ys = np.stack([np.pad(y, (0, padded - len(y))) for y in waves])
+            waves = [load_checked(f) for f in group]  # (T,) or (D, T)
+            ys = np.stack([
+                np.pad(y, [(0, 0)] * (y.ndim - 1)
+                       + [(0, padded - y.shape[-1])])
+                for y in waves
+            ])
             key, k = jax.random.split(key)
             t0 = time.perf_counter()
             x_hats, nfe = enhancer(ys, k)
             elapsed = time.perf_counter() - t0
-            audio_sec = sum(len(y) for y in waves) / model_sr
+            audio_sec = sum(y.shape[-1] for y in waves) / model_sr
             for f, y, x_hat in zip(group, waves, np.asarray(x_hats)):
                 out = os.path.join(args.enhanced_dir, os.path.basename(f))
-                save_wav(out, x_hat[: len(y)], model_sr)
+                save_wav(out, x_hat[..., : y.shape[-1]], model_sr)
                 print(os.path.basename(f))
             if args.timeit:
                 print(f"  batch of {len(group)}: nfe={nfe} "

@@ -24,8 +24,16 @@ import orbax.checkpoint as ocp
 from .models import TrainState
 
 
-def save_checkpoint(path: str, state: TrainState, config: dict):
-    """Save state + config under `path` (replacing an existing checkpoint).
+def save_checkpoint(
+    path: str, state: TrainState, config: dict, meta: Optional[dict] = None
+):
+    """Save state + config (+ optional training meta) under `path`,
+    replacing an existing checkpoint.
+
+    `meta` carries loop state the TrainState does not (epoch, early-stop
+    counters, best scores) so a resumed run continues rather than restarts
+    — the Lightning-resume fidelity contract (reference README.md:22,
+    train.py:139-145).
 
     Refuses to delete a pre-existing directory that does not look like a
     checkpoint written by this function (guards against an --out pointing
@@ -48,6 +56,18 @@ def save_checkpoint(path: str, state: TrainState, config: dict):
     ckptr.wait_until_finished()
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(config, f, indent=2, default=str)
+    if meta is not None:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+
+
+def load_meta(path: str) -> Optional[dict]:
+    """Training meta saved next to a checkpoint, or None (old checkpoints)."""
+    p = os.path.join(os.path.abspath(path), "meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def load_config(path: str) -> dict:
@@ -84,29 +104,79 @@ def load_checkpoint(
 
 
 class CheckpointManager:
-    """Tracks best-loss / best-PESQ / last checkpoints (train.py:139-145)."""
+    """Tracks best-loss / best-quality / last checkpoints (train.py:139-145).
+
+    The quality policy mirrors the reference's ModelCheckpoint on
+    ValidationPESQ (reference train.py:144-145). PESQ is unavailable in
+    this image (the `pesq` C library is absent, utils/metrics.py), so when
+    pesq is NaN the policy falls back to ESTOI — documented substitution,
+    see BASELINE.md — keeping the second checkpoint policy live. The tag
+    stays `best_pesq` for CLI compatibility; meta.json records which metric
+    actually drove it.
+    """
 
     def __init__(self, ckpt_dir: str, config: dict):
         self.ckpt_dir = ckpt_dir
         self.config = config
         self.best_loss = float("inf")
-        self.best_pesq = -float("inf")
+        self.best_quality = -float("inf")
+        self.quality_metric = None  # "pesq" or "estoi", set on first step
         os.makedirs(ckpt_dir, exist_ok=True)
+
+    def restore_from_meta(self, meta: dict):
+        """Adopt best scores from a resumed run so a worse checkpoint never
+        overwrites a better one after resume."""
+        self.best_loss = float(meta.get("best_loss", float("inf")))
+        self.best_quality = float(meta.get("best_quality", -float("inf")))
+        self.quality_metric = meta.get("quality_metric")
 
     def step(
         self,
         state: TrainState,
         valid_loss: Optional[float] = None,
         pesq: Optional[float] = None,
+        estoi: Optional[float] = None,
+        epoch: Optional[int] = None,
+        bad_epochs: Optional[int] = None,
+        best_valid: Optional[float] = None,
     ):
-        save_checkpoint(os.path.join(self.ckpt_dir, "last"), state, self.config)
+        if pesq is not None and np.isfinite(pesq):
+            quality, metric = float(pesq), "pesq"
+        elif estoi is not None and np.isfinite(estoi):
+            quality, metric = float(estoi), "estoi"
+        else:
+            quality, metric = None, self.quality_metric
+        if self.quality_metric is None:
+            self.quality_metric = metric
+        elif metric is not None and metric != self.quality_metric:
+            raise ValueError(
+                f"checkpoint quality metric changed mid-run: "
+                f"{self.quality_metric} -> {metric}"
+            )
+
+        meta = {
+            "epoch": epoch,
+            "bad_epochs": bad_epochs,
+            "best_valid": best_valid,
+            "best_loss": self.best_loss,
+            "best_quality": self.best_quality,
+            "quality_metric": self.quality_metric,
+        }
+
         if valid_loss is not None and valid_loss < self.best_loss:
-            self.best_loss = valid_loss
+            self.best_loss = float(valid_loss)
+            meta["best_loss"] = self.best_loss
             save_checkpoint(
-                os.path.join(self.ckpt_dir, "best_loss"), state, self.config
+                os.path.join(self.ckpt_dir, "best_loss"), state, self.config,
+                meta=meta,
             )
-        if pesq is not None and np.isfinite(pesq) and pesq > self.best_pesq:
-            self.best_pesq = pesq
+        if quality is not None and quality > self.best_quality:
+            self.best_quality = quality
+            meta["best_quality"] = self.best_quality
             save_checkpoint(
-                os.path.join(self.ckpt_dir, "best_pesq"), state, self.config
+                os.path.join(self.ckpt_dir, "best_pesq"), state, self.config,
+                meta=meta,
             )
+        save_checkpoint(
+            os.path.join(self.ckpt_dir, "last"), state, self.config, meta=meta
+        )

@@ -36,8 +36,16 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
         self.squeeze_channels = squeeze_channels
+
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle order for the given epoch (torch
+        DistributedSampler-style): the permutation is a pure function of
+        (seed, epoch), so a resumed run replays the exact same batch order
+        — part of the resume-fidelity contract of train.py."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         n = len(self.dataset)
@@ -58,7 +66,10 @@ class DataLoader:
     def _batches(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(idx)
+            # consume the current epoch and advance it, so iterating without
+            # set_epoch still reshuffles every epoch
+            epoch, self._epoch = self._epoch, self._epoch + 1
+            np.random.default_rng((self.seed, epoch)).shuffle(idx)
         end = (
             len(idx) - len(idx) % self.batch_size
             if self.drop_last

@@ -77,11 +77,29 @@ def spec_to_wav(spec, stft_config: STFTConfig, transform: SpecTransform,
 def normalize_wav(y):
     """Per-utterance max-abs normalization (sgmse/model.py:730-731).
 
-    Returns (y_normalized, norm_factor) with norm_factor shaped (B, 1).
+    Reduces over everything but the batch axis, so multichannel (B, D, T)
+    utterances share one norm factor across channels (the reference's
+    `y.abs().max()` is a global max per utterance).
+
+    Returns (y_normalized, norm_factor) broadcastable against y.
     """
-    norm = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
-    norm = jnp.maximum(norm, 1e-10)
+    B = y.shape[0]
+    norm = jnp.max(jnp.abs(y).reshape(B, -1), axis=-1)
+    norm = jnp.maximum(norm, 1e-10).reshape((B,) + (1,) * (y.ndim - 1))
     return y / norm, norm
+
+
+def lift_spec(Y):
+    """Lift a spec to the canonical multichannel shape.
+
+    (B, F, T, 2) -> ((B, 1, F, T, 2), True); (B, D, F, T, 2) unchanged
+    -> (Y, False). The flag tells the caller to squeeze outputs back.
+    """
+    if Y.ndim == 4:
+        return Y[:, None], True
+    if Y.ndim == 5:
+        return Y, False
+    raise ValueError(f"expected (B,F,T,2) or (B,D,F,T,2) spec, got {Y.shape}")
 
 
 def prepare_spec(y, stft_config: STFTConfig, transform: SpecTransform,

@@ -22,6 +22,7 @@ from .base import (
     TrainState,
     ema_update,
     init_train_state,
+    lift_spec,
     make_optimizer,
     normalize_wav,
     prepare_spec,
@@ -49,6 +50,7 @@ class DiscriminativeModel:
     lr: float = 1e-4
     ema_decay: float = 0.999
     loss_type: str = "mse"
+    spatial_channels: int = 1
 
     @classmethod
     def create(
@@ -65,6 +67,7 @@ class DiscriminativeModel:
         dnn = dnn_cls.from_kwargs(discriminative=True, **backbone_kwargs)
         return cls(
             dnn=dnn, lr=lr, ema_decay=ema_decay, loss_type=loss_type,
+            spatial_channels=int(backbone_kwargs.get("spatial_channels", 1)),
             stft_config=stft_config, transform=transform,
         )
 
@@ -78,9 +81,13 @@ class DiscriminativeModel:
         B, F, T = spec_shape
         t = jnp.ones((B,), jnp.float32)
         if self.force_stft_out:
+            if self.spatial_channels != 1:
+                raise NotImplementedError(
+                    "time-domain backbones support spatial_channels=1 only"
+                )
             y = jnp.zeros((B, (T - 1) * self.stft_config.hop_length), jnp.float32)
             return self.dnn.init(key, y, t)["params"]
-        y = jnp.zeros((B, 1, F, T, 2), jnp.float32)
+        y = jnp.zeros((B, self.spatial_channels, F, T, 2), jnp.float32)
         return self.dnn.init(key, y, t)["params"]
 
     def init_state(self, key, spec_shape=(1, 256, 64)) -> TrainState:
@@ -101,12 +108,17 @@ class DiscriminativeModel:
             return self.dnn.apply(
                 {"params": params}, y_time, t, train=train, rngs=rngs
             )
+        Y5, squeezed = lift_spec(Y)
         out = self.dnn.apply(
-            {"params": params}, Y[:, None], t, train=train, rngs=rngs
+            {"params": params}, Y5, t, train=train, rngs=rngs
         )
-        return out[:, 0]
+        return out[:, 0] if squeezed else out
 
-    def loss_fn(self, params, key, batch, train: bool = True):
+    batch_reduction = "mean"
+
+    def loss_per_example(self, params, key, batch, train: bool = False):
+        """Per-example losses (B,) — used for masked validation over ragged
+        tail batches (every file counts, unlike a skip)."""
         x, y = batch
         x_hat = self.apply(params, y, train=train, rng=key)
         if self.force_stft_out:
@@ -116,18 +128,20 @@ class DiscriminativeModel:
         B = x.shape[0]
         diff = x - x_hat
         if self.loss_type == "mse":
-            loss = jnp.mean(0.5 * jnp.sum(jnp.square(diff).reshape(B, -1), -1))
+            return 0.5 * jnp.sum(jnp.square(diff).reshape(B, -1), -1)
         elif self.loss_type == "mae":
             mag = jnp.abs(diff) if self.force_stft_out else cplx.cabs(diff)
-            loss = jnp.mean(0.5 * jnp.sum(mag.reshape(B, -1), -1))
+            return 0.5 * jnp.sum(mag.reshape(B, -1), -1)
         elif self.loss_type == "sisdr":
-            loss = -jnp.mean(
-                jax.vmap(si_sdr_jax)(
-                    x.reshape(B, -1), x_hat.reshape(B, -1)
-                )
+            return -jax.vmap(si_sdr_jax)(
+                x.reshape(B, -1), x_hat.reshape(B, -1)
             )
-        else:
-            raise NotImplementedError(self.loss_type)
+        raise NotImplementedError(self.loss_type)
+
+    def loss_fn(self, params, key, batch, train: bool = True):
+        loss = jnp.mean(
+            self.loss_per_example(params, key, batch, train=train)
+        )
         return loss, {"loss": loss}
 
     def make_train_step(self, donate: bool = True):

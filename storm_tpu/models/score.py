@@ -25,6 +25,7 @@ from .base import (
     TrainState,
     ema_update,
     init_train_state,
+    lift_spec,
     make_optimizer,
     normalize_wav,
     prepare_spec,
@@ -44,6 +45,7 @@ class ScoreModel:
     ema_decay: float = 0.999
     t_eps: float = 0.03
     loss_type: str = "mse"
+    spatial_channels: int = 1
 
     @classmethod
     def create(
@@ -69,15 +71,18 @@ class ScoreModel:
         )
         return cls(
             dnn=dnn, sde=sde_obj, lr=lr, ema_decay=ema_decay, t_eps=t_eps,
-            loss_type=loss_type, stft_config=stft_config, transform=transform,
+            loss_type=loss_type,
+            spatial_channels=int(backbone_kwargs.get("spatial_channels", 1)),
+            stft_config=stft_config, transform=transform,
         )
 
     # --- parameters -------------------------------------------------------
 
     def init_params(self, key, spec_shape: Tuple[int, ...]):
-        """spec_shape: (B, F, T) of a single compressed spec (D=1)."""
+        """spec_shape: (B, F, T) of a single compressed spec."""
         B, F, T = spec_shape
-        x = jnp.zeros((B, 2, F, T, 2), jnp.float32)  # [x_t, y]
+        D = self.spatial_channels
+        x = jnp.zeros((B, 2 * D, F, T, 2), jnp.float32)  # [x_t, y] x D
         t = jnp.ones((B,), jnp.float32)
         return self.dnn.init(key, x, t)["params"]
 
@@ -91,28 +96,56 @@ class ScoreModel:
     def score_apply(self, params, x, t, y, train: bool = False, rng=None):
         """score = -dnn(cat[x, y], t) (sgmse/model.py:130-136).
 
-        x, y: (B, F, T, 2) packed-real compressed specs.
+        x, y: (B, F, T, 2) or multichannel (B, D, F, T, 2) packed-real
+        compressed specs; output has x's shape.
         """
-        dnn_input = jnp.stack([x, y], axis=1)  # (B, 2, F, T, 2)
+        x5, squeezed = lift_spec(x)
+        y5, _ = lift_spec(y)
+        dnn_input = jnp.concatenate([x5, y5], axis=1)  # (B, 2D, F, T, 2)
         rngs = {"dropout": rng} if (train and rng is not None) else None
         out = self.dnn.apply(
             {"params": params}, dnn_input, t, train=train, rngs=rngs
         )
-        return -out[:, 0]  # (B, F, T, 2)
+        return -(out[:, 0] if squeezed else out)
 
     # --- loss / training --------------------------------------------------
+
+    def _err_loss_per_example(self, err):
+        """Per-example 0.5 * sum |err|^2 (or |err| for mae), shape (B,)."""
+        B = err.shape[0]
+        if self.loss_type == "mse":
+            return 0.5 * jnp.sum(jnp.square(err).reshape(B, -1), axis=-1)
+        elif self.loss_type == "mae":
+            return 0.5 * jnp.sum(cplx.cabs(err).reshape(B, -1), axis=-1)
+        raise NotImplementedError(self.loss_type)
 
     def _err_loss(self, err):
         """mse: mean_b(0.5 * sum |err|^2); mae likewise on |err|
         (sgmse/model.py:113-124)."""
-        B = err.shape[0]
-        if self.loss_type == "mse":
-            per = 0.5 * jnp.sum(jnp.square(err).reshape(B, -1), axis=-1)
-        elif self.loss_type == "mae":
-            per = 0.5 * jnp.sum(cplx.cabs(err).reshape(B, -1), axis=-1)
-        else:
-            raise NotImplementedError(self.loss_type)
-        return jnp.mean(per)
+        return jnp.mean(self._err_loss_per_example(err))
+
+    # batch combination used by `loss_fn`; train.py's masked validation path
+    # needs this to aggregate per-example losses the same way (mean here,
+    # sum for StoRM's `_reduce`)
+    batch_reduction = "mean"
+
+    def loss_per_example(self, params, key, batch, train: bool = False):
+        """Per-example DSM losses (B,) — used for masked validation over
+        ragged tail batches (every file counts, unlike a skip)."""
+        x, y = batch
+        kt, kz, kd = jax.random.split(key, 3)
+        B = x.shape[0]
+        t = (
+            jax.random.uniform(kt, (B,), jnp.float32)
+            * (self.sde.T - self.t_eps)
+            + self.t_eps
+        )
+        z = cplx.complex_normal(kz, x.shape[:-1])
+        mean, std = self.sde.marginal_prob(x, t, y)
+        sigmas = right_pad_dims(std, x)
+        perturbed = mean + sigmas * z
+        score = self.score_apply(params, perturbed, t, y, train=train, rng=kd)
+        return self._err_loss_per_example(score * sigmas + z)
 
     def loss_given_tz(self, params, batch, t, z, train: bool = False, rng=None):
         """DSM loss with injected diffusion times `t` (B,) and noise `z`

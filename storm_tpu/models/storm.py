@@ -33,6 +33,7 @@ from .base import (
     TrainState,
     ema_update,
     init_train_state,
+    lift_spec,
     make_optimizer,
     normalize_wav,
     prepare_spec,
@@ -57,6 +58,7 @@ class StochasticRegenerationModel:
     weighting_denoiser_to_score: float = 0.5
     condition: str = "both"
     mode: str = "regen-joint-training"
+    spatial_channels: int = 1
 
     @classmethod
     def create(
@@ -115,6 +117,7 @@ class StochasticRegenerationModel:
             weighting_denoiser_to_score=weighting_denoiser_to_score,
             condition=condition,
             mode=mode,
+            spatial_channels=int(backbone_kwargs.get("spatial_channels", 1)),
             stft_config=stft_config,
             transform=transform,
         )
@@ -123,6 +126,7 @@ class StochasticRegenerationModel:
 
     def init_params(self, key, spec_shape: Tuple[int, ...]) -> Dict[str, Any]:
         B, F, T = spec_shape
+        D = self.spatial_channels
         kd, ks = jax.random.split(key)
         t = jnp.ones((B,), jnp.float32)
         params = {}
@@ -132,11 +136,11 @@ class StochasticRegenerationModel:
                     (B, (T - 1) * self.stft_config.hop_length), jnp.float32
                 )
             else:
-                y = jnp.zeros((B, 1, F, T, 2), jnp.float32)
+                y = jnp.zeros((B, D, F, T, 2), jnp.float32)
             params["denoiser"] = self.denoiser_net.init(kd, y, t)["params"]
         if self.score_net is not None:
             n_c = 1 + _CONDITION_CHANNELS[self.condition]
-            x = jnp.zeros((B, n_c, F, T, 2), jnp.float32)
+            x = jnp.zeros((B, n_c * D, F, T, 2), jnp.float32)
             params["score"] = self.score_net.init(ks, x, t)["params"]
         return params
 
@@ -148,7 +152,8 @@ class StochasticRegenerationModel:
     # --- forward ----------------------------------------------------------
 
     def forward_denoiser(self, params, Y, train: bool = False, rng=None):
-        """D(y) (sgmse/model.py:556-558). Y: (B, F, T, 2).
+        """D(y) (sgmse/model.py:556-558). Y: (B, F, T, 2) or multichannel
+        (B, D, F, T, 2); output has the input's shape.
 
         Time-domain (FORCE_STFT_OUT) denoisers are wrapped spec->wav->spec
         so the SDE input/conditioning stay spectral. (The reference's StoRM
@@ -158,16 +163,21 @@ class StochasticRegenerationModel:
         if getattr(self.denoiser_net, "FORCE_STFT_OUT", False):
             from .base import time_domain_denoise
 
+            if self.spatial_channels != 1:
+                raise NotImplementedError(
+                    "time-domain denoisers support spatial_channels=1 only"
+                )
             return time_domain_denoise(
                 self.denoiser_net, params["denoiser"], Y,
                 self.stft_config, self.transform,
             )
-        t = jnp.ones((Y.shape[0],), jnp.float32)
+        Y5, squeezed = lift_spec(Y)
+        t = jnp.ones((Y5.shape[0],), jnp.float32)
         rngs = {"dropout": rng} if (train and rng is not None) else None
         out = self.denoiser_net.apply(
-            {"params": params["denoiser"]}, Y[:, None], t, train=train, rngs=rngs
+            {"params": params["denoiser"]}, Y5, t, train=train, rngs=rngs
         )
-        return out[:, 0]
+        return out[:, 0] if squeezed else out
 
     def _conditioning(self, Y, Y_denoised):
         if self.condition == "noisy":
@@ -183,13 +193,19 @@ class StochasticRegenerationModel:
     def forward_score(
         self, params, x, t, score_conditioning, train: bool = False, rng=None
     ):
-        """score = -score_net(cat[x, *cond], t) (sgmse/model.py:548-554)."""
-        dnn_input = jnp.stack([x] + list(score_conditioning), axis=1)
+        """score = -score_net(cat[x, *cond], t) (sgmse/model.py:548-554).
+
+        x and each conditioning spec: (B, F, T, 2) or (B, D, F, T, 2);
+        multichannel inputs concatenate as [x_1..x_D, c1_1..c1_D, ...] along
+        the complex-channel axis. Output has x's shape."""
+        x5, squeezed = lift_spec(x)
+        cond5 = [lift_spec(c)[0] for c in score_conditioning]
+        dnn_input = jnp.concatenate([x5] + cond5, axis=1)
         rngs = {"dropout": rng} if (train and rng is not None) else None
         out = self.score_net.apply(
             {"params": params["score"]}, dnn_input, t, train=train, rngs=rngs
         )
-        return -out[:, 0]
+        return -(out[:, 0] if squeezed else out)
 
     # --- loss / training --------------------------------------------------
 
@@ -198,6 +214,53 @@ class StochasticRegenerationModel:
         (sgmse/model.py:449, 466-484). Note: unlike ScoreModel this does NOT
         take the batch mean; replicated for loss-curve parity."""
         return 0.5 * jnp.sum(v)
+
+    # `_reduce` sums over the batch axis too; train.py's masked validation
+    # path aggregates per-example losses accordingly
+    batch_reduction = "sum"
+
+    def _reduce_per_example(self, v):
+        return 0.5 * jnp.sum(v.reshape(v.shape[0], -1), axis=-1)
+
+    def loss_per_example(self, params, key, batch, train: bool = False):
+        """Per-example joint losses (B,) — used for masked validation over
+        ragged tail batches (every file counts, unlike a skip)."""
+        x, y = batch
+        kt, kz, kd1, kd2 = jax.random.split(key, 4)
+        B = x.shape[0]
+        t = (
+            jax.random.uniform(kt, (B,), jnp.float32)
+            * (self.sde.T - self.t_eps)
+            + self.t_eps
+        )
+        z = cplx.complex_normal(kz, x.shape[:-1])
+
+        y_denoised = self.forward_denoiser(params, y, train=train, rng=kd1)
+        mean, std = self.sde.marginal_prob(x, t, y_denoised)
+        sigmas = right_pad_dims(std, x)
+        perturbed = mean + sigmas * z
+        cond = self._conditioning(y, y_denoised)
+        score = self.forward_score(
+            params, perturbed, t, cond, train=train, rng=kd2
+        )
+        err = score * sigmas + z
+
+        if self.loss_type_score == "mse":
+            ls = self._reduce_per_example(jnp.square(err))
+        elif self.loss_type_score == "mae":
+            ls = self._reduce_per_example(cplx.cabs(err))
+        else:
+            raise NotImplementedError(self.loss_type_score)
+        if self.loss_type_denoiser == "mse":
+            ld = self._reduce_per_example(jnp.square(y_denoised - x))
+        elif self.loss_type_denoiser == "mae":
+            ld = self._reduce_per_example(cplx.cabs(y_denoised - x))
+        elif self.loss_type_denoiser == "none":
+            ld = None
+        else:
+            raise NotImplementedError(self.loss_type_denoiser)
+        a = self.weighting_denoiser_to_score
+        return a * ld + (1 - a) * ls if ld is not None else ls
 
     def loss_given_tz(
         self, params, batch, t, z, train: bool = False, rngs=(None, None)

@@ -31,6 +31,21 @@ from .resample import (
 Dtype = Any
 
 
+def _matmul_precision(dtype) -> jax.lax.Precision:
+    """Matmul precision for einsum-based layers.
+
+    f32 inputs need HIGHEST on TPU (DEFAULT silently rounds operands to
+    bf16); bf16 inputs take the single-pass MXU path (which accumulates in
+    f32 anyway) — HIGHEST there would synthesize 3-6 passes for no quality
+    gain (measured ~0.3 ms/forward on the attention block alone).
+    """
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 def get_act(name: str) -> Callable:
     """Activation factory (ncsnpp_utils/layers.py:29-41)."""
     if name == "elu":
@@ -198,7 +213,7 @@ class NIN(fnn.Module):
         b = self.param("b", fnn.initializers.zeros, (self.num_units,), jnp.float32)
         return jnp.einsum(
             "...c,cd->...d", x, W.astype(x.dtype),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_matmul_precision(x.dtype),
         ) + b.astype(x.dtype)
 
 
@@ -242,11 +257,11 @@ class AttnBlockpp(fnn.Module):
         k = k.reshape(B, H * W, C)
         v = v.reshape(B, H * W, C)
         logits = jnp.einsum(
-            "bqc,bkc->bqk", q, k, precision=jax.lax.Precision.HIGHEST
+            "bqc,bkc->bqk", q, k, precision=_matmul_precision(x.dtype)
         ) * (int(C) ** (-0.5))
         w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
         h = jnp.einsum(
-            "bqk,bkc->bqc", w, v, precision=jax.lax.Precision.HIGHEST
+            "bqk,bkc->bqc", w, v, precision=_matmul_precision(x.dtype)
         ).reshape(B, H, W, C)
         h = NIN(C, init_scale=self.init_scale, name="NIN_3")(h)
         if not self.skip_rescale:

@@ -1,0 +1,137 @@
+"""End-to-end train CLI tests: smoke run, kill-and-resume fidelity,
+ragged-tail validation coverage (VERDICT items 5 and 7).
+
+Runs train.py as a subprocess on a single CPU device (STORM_TPU_PLATFORM
+override) with a tiny model + tiny synthetic wsj0-format corpus.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """wsj0-format tree; 5 cv files so batch_size=2 leaves a ragged tail."""
+    from storm_tpu.data.audio import save_wav
+
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    for subset, n_files in (("tr", 6), ("cv", 5)):
+        for kind in ("clean", "noisy"):
+            os.makedirs(root / subset / kind)
+        for i in range(n_files):
+            n = int(rng.integers(8000, 12000))
+            x = 0.3 * np.sin(2 * np.pi * 300 * np.arange(n) / 16000)
+            noise = 0.05 * rng.standard_normal(n)
+            save_wav(root / subset / "clean" / f"u{i}.wav", x)
+            save_wav(root / subset / "noisy" / f"u{i}.wav", x + noise)
+    return str(root)
+
+
+def _run_train(corpus, log_dir, extra, timeout=1200):
+    env = dict(os.environ)
+    env["STORM_TPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = ""  # single CPU device
+    cmd = [
+        sys.executable, os.path.join(REPO, "train.py"),
+        "--mode", "regen-joint-training", "--base_dir", corpus,
+        "--format", "wsj0", "--batch_size", "2", "--num_frames", "32",
+        "--nf", "8", "--ch_mult", "1,1", "--num_workers", "2",
+        "--num_eval_files", "2", "--eval_N", "2",
+        "--log_dir", str(log_dir), "--patience", "50",
+    ] + extra
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-4000:] + out.stdout[-2000:]
+    return out.stdout
+
+
+def _read_metrics(log_dir):
+    run = next(d for d in os.listdir(log_dir) if d.startswith("mode="))
+    path = os.path.join(log_dir, run, "metrics.jsonl")
+    with open(path) as f:
+        return [json.loads(line) for line in f], os.path.join(log_dir, run)
+
+
+def test_train_smoke_and_resume(corpus, tmp_path):
+    log_dir = tmp_path / "logs"
+
+    # --- phase 1: two epochs -------------------------------------------
+    out1 = _run_train(corpus, log_dir, ["--max_epochs", "2"])
+    assert "epoch 1:" in out1
+    metrics1, run_dir = _read_metrics(log_dir)
+    epoch_rows1 = [m for m in metrics1 if "valid_loss" in m]
+    assert len(epoch_rows1) == 2
+    # every validation loss covers all 5 cv files (padded+masked tail)
+    assert all(np.isfinite(m["valid_loss"]) for m in epoch_rows1)
+
+    last = os.path.join(run_dir, "checkpoints", "last")
+    meta = json.load(open(os.path.join(last, "meta.json")))
+    assert meta["epoch"] == 1
+    assert np.isfinite(meta["best_valid"])
+    assert meta["bad_epochs"] in (0, 1)
+    # PESQ is unavailable in this image -> quality policy fell back to ESTOI
+    assert meta["quality_metric"] == "estoi"
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints", "best_pesq"))
+    best_valid_1 = meta["best_valid"]
+    bad_epochs_1 = meta["bad_epochs"]
+    best_quality_1 = meta["best_quality"]
+
+    # --- phase 2: resume for two more epochs ----------------------------
+    out2 = _run_train(
+        corpus, log_dir,
+        ["--max_epochs", "4", "--resume_from_checkpoint", last],
+    )
+    assert "epoch 2" in out2  # resumed AT epoch 2, not 0
+    assert "epoch 0:" not in out2
+    metrics2, _ = _read_metrics(log_dir)
+    epoch_rows2 = [m for m in metrics2 if "valid_loss" in m]
+    assert len(epoch_rows2) == 4  # 2 old + 2 new appended
+
+    meta2 = json.load(open(os.path.join(last, "meta.json")))
+    assert meta2["epoch"] == 3
+    # best scores survived the resume: never reset, only improved
+    assert meta2["best_valid"] <= best_valid_1
+    assert meta2["best_quality"] >= best_quality_1
+    assert meta2["quality_metric"] == "estoi"
+    # early-stop counter continued from the restored value
+    assert isinstance(meta2["bad_epochs"], int)
+    if meta2["best_valid"] == best_valid_1:  # no improvement case
+        assert meta2["bad_epochs"] >= bad_epochs_1
+
+
+def test_loader_epoch_determinism():
+    """set_epoch pins the shuffle; identical (seed, epoch) -> identical
+    order; successive epochs differ."""
+    from storm_tpu.data.loader import DataLoader
+
+    class Idx:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return (np.full((1, 4), i, np.float32),
+                    np.full((1, 4), i, np.float32))
+
+    def order(epoch):
+        dl = DataLoader(Idx(), batch_size=4, shuffle=True, num_workers=1,
+                        seed=7)
+        dl.set_epoch(epoch)
+        return [tuple(b[0][:, 0].astype(int)) for b in dl]
+
+    assert order(3) == order(3)
+    assert order(0) != order(1)
+
+    # without set_epoch, epochs auto-advance (fresh shuffle each epoch)
+    dl = DataLoader(Idx(), batch_size=4, shuffle=True, num_workers=1, seed=7)
+    o1 = [tuple(b[0][:, 0].astype(int)) for b in dl]
+    o2 = [tuple(b[0][:, 0].astype(int)) for b in dl]
+    assert o1 != o2
+    assert o1 == order(0) and o2 == order(1)

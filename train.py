@@ -122,12 +122,17 @@ MODEL_CONFIG_KEYS = [
 def main():
     args = parse_args()
     import jax
+
+    # the sitecustomize preload latches the platform into jax.config, so an
+    # env var alone cannot move this CLI off the TPU (used by CI/tests)
+    if os.environ.get("STORM_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["STORM_TPU_PLATFORM"])
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from storm_tpu.utils.jaxcache import enable_jax_compilation_cache
     enable_jax_compilation_cache()
-    from storm_tpu.ckpt import CheckpointManager, load_checkpoint
+    from storm_tpu.ckpt import CheckpointManager, load_checkpoint, load_meta
     from storm_tpu.data import SpecsDataModule
     from storm_tpu.models import StochasticRegenerationModel, wav_to_spec
     from storm_tpu.models.factory import build_model
@@ -178,9 +183,17 @@ def main():
     state = model.init_state(jax.random.PRNGKey(args.seed), spec_shape)
 
     start_epoch = 0
+    resumed_meta = None
     if args.resume_from_checkpoint:
         _, state = load_checkpoint(args.resume_from_checkpoint, target=state)
-        print(f"resumed from {args.resume_from_checkpoint} at step {int(state.step)}")
+        resumed_meta = load_meta(args.resume_from_checkpoint)
+        if resumed_meta and resumed_meta.get("epoch") is not None:
+            start_epoch = int(resumed_meta["epoch"]) + 1
+        print(
+            f"resumed from {args.resume_from_checkpoint} at step "
+            f"{int(state.step)}, epoch {start_epoch}"
+            + ("" if resumed_meta else " (no meta.json: loop state reset)")
+        )
 
     # component grafting (reference train.py:100-103, model.py:496-503)
     if args.pretrained_denoiser:
@@ -211,7 +224,9 @@ def main():
     state = jax.device_put(state, repl_sharding)
 
     # --- compiled programs -------------------------------------------------
-    train_step = model.make_train_step(donate=False)
+    # donate=True: the previous step's params/opt-state buffers are reused
+    # in place on the hot path (checkpointing does jax.device_get copies)
+    train_step = model.make_train_step(donate=True)
     if args.return_time:
         # the loss pipeline is spectral for every model here; time-domain
         # backbones (ConvTasNet/ae-ncsnpp) are converted automatically via
@@ -228,8 +243,13 @@ def main():
             wav_to_spec(b[1], model.stft_config, model.transform),
         )
     )
+    # per-example valid losses so ragged tail batches can be padded + masked
+    # (the reference evaluates every file; a skip would bias the early-stop
+    # signal by up to batch_size-1 files)
     valid_loss_fn = jax.jit(
-        lambda params, key, batch: model.loss_fn(params, key, batch, False)[0]
+        lambda params, key, batch: model.loss_per_example(
+            params, key, batch, False
+        )
     )
 
     # --- logging ----------------------------------------------------------
@@ -265,13 +285,25 @@ def main():
             metrics_file.flush()
 
     # --- training loop -----------------------------------------------------
-    key = jax.random.PRNGKey(args.seed)
     best_valid = float("inf")
     bad_epochs = 0
+    if resumed_meta:
+        # restore early-stop / best-checkpoint loop state (Lightning resume
+        # restores callback state, reference README.md:22, train.py:139-145)
+        if resumed_meta.get("best_valid") is not None:
+            best_valid = float(resumed_meta["best_valid"])
+        if resumed_meta.get("bad_epochs") is not None:
+            bad_epochs = int(resumed_meta["bad_epochs"])
+        if ckpt_mgr is not None:
+            ckpt_mgr.restore_from_meta(resumed_meta)
     global_step = int(state.step)
     t_start = time.time()
 
     for epoch in range(start_epoch, args.max_epochs):
+        # epoch-deterministic RNG + shuffle order: a resumed run replays
+        # exactly the stream a continuous run would have used
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
+        dm.train_dataloader().set_epoch(epoch)
         epoch_losses = []
         for batch in dm.train_dataloader():
             key, k = jax.random.split(key)
@@ -290,21 +322,34 @@ def main():
 
         train_loss = float(np.mean([float(l) for l in epoch_losses]))
 
-        # validation loss
-        vlosses = []
+        # validation loss over EVERY file: ragged tail batches are padded to
+        # the static jit shape and masked out of the average
+        vloss_sum, vloss_count = 0.0, 0
         for batch in dm.val_dataloader():
-            if batch[0].shape[0] != args.batch_size:
-                continue  # static-shape jit: skip ragged tail
+            rows = batch[0].shape[0]
+            bx, by = np.asarray(batch[0]), np.asarray(batch[1])
+            if rows < args.batch_size:
+                pad = [(0, args.batch_size - rows)] + [(0, 0)] * (bx.ndim - 1)
+                bx, by = np.pad(bx, pad), np.pad(by, pad)
             key, k = jax.random.split(key)
             device_batch = jax.device_put(
-                (jnp.asarray(batch[0]), jnp.asarray(batch[1])), data_sharding
+                (jnp.asarray(bx), jnp.asarray(by)), data_sharding
             )
             # validation runs with EMA (shadow) params like the reference's
             # eval-mode EMA swap (sgmse/model.py:97-111)
-            vlosses.append(
-                float(valid_loss_fn(state.ema_params, k, prepare(device_batch)))
+            per_example = np.asarray(
+                valid_loss_fn(state.ema_params, k, prepare(device_batch))
             )
-        valid_loss = float(np.mean(vlosses)) if vlosses else float("nan")
+            vloss_sum += float(per_example[:rows].sum())
+            vloss_count += rows
+        if vloss_count:
+            valid_loss = vloss_sum / vloss_count
+            if getattr(model, "batch_reduction", "mean") == "sum":
+                # keep the scale of the model's own batch reduction (StoRM
+                # sums over the batch axis, sgmse/model.py:449)
+                valid_loss *= args.batch_size
+        else:
+            valid_loss = float("nan")
 
         # enhancement metrics on EMA params (reference model.py:605-622);
         # audio + spectrogram artifacts every VIS_EPOCHS (model.py:20,
@@ -353,19 +398,22 @@ def main():
             ValidationPESQ=pesq_est, ValidationSISDR=si_sdr_est,
             ValidationESTOI=estoi_est)
 
-        if ckpt_mgr is not None:
-            ckpt_mgr.step(jax.device_get(state), valid_loss=valid_loss,
-                          pesq=pesq_est)
-
-        # early stopping (reference train.py:139)
+        # early stopping (reference train.py:139) — updated before the
+        # checkpoint save so meta.json reflects post-epoch loop state
         if valid_loss < best_valid:
             best_valid = valid_loss
             bad_epochs = 0
         else:
             bad_epochs += 1
-            if bad_epochs >= args.patience:
-                print(f"early stopping at epoch {epoch}")
-                break
+
+        if ckpt_mgr is not None:
+            ckpt_mgr.step(jax.device_get(state), valid_loss=valid_loss,
+                          pesq=pesq_est, estoi=estoi_est, epoch=epoch,
+                          bad_epochs=bad_epochs, best_valid=best_valid)
+
+        if bad_epochs >= args.patience:
+            print(f"early stopping at epoch {epoch}")
+            break
         if args.max_steps and global_step >= args.max_steps:
             break
 

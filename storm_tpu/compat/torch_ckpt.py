@@ -76,6 +76,17 @@ def convert_backbone_state_dict(
             key = key[len(prefix):]
         parts = key.split(".")
         v = _to_np(value)
+        if parts == ["encoder", "weight"]:
+            # ae-ncsnpp learned filterbank: Conv1d (O,I,W) -> (W,I,O)
+            _set(out, ("encoder_w",), np.transpose(v, (2, 1, 0)))
+            continue
+        if parts == ["decoder", "weight"]:
+            # ae-ncsnpp ConvTranspose1d (I,O,W) -> flipped (W,I,O): the flax
+            # decoder is a lhs-dilated conv, which correlates where
+            # conv_transpose convolves, hence the spatial flip
+            _set(out, ("decoder_w",),
+                 np.ascontiguousarray(np.transpose(v, (2, 0, 1))[::-1]))
+            continue
         if parts[0] == "all_modules":
             idx = int(parts[1])
             rest = parts[2:]
@@ -197,6 +208,14 @@ def flax_to_torch_backbone(params: Mapping[str, Any], prefix: str = "") -> Dict[
             return
         v = np.asarray(node)
         parts = list(path)
+        if parts == ["encoder_w"]:
+            out[prefix + "encoder.weight"] = np.transpose(v, (2, 1, 0))
+            return
+        if parts == ["decoder_w"]:
+            out[prefix + "decoder.weight"] = np.ascontiguousarray(
+                np.transpose(v[::-1], (1, 2, 0))
+            )
+            return
         if parts[0].startswith("m") and parts[0][1:].isdigit():
             parts[0] = f"all_modules.{parts[0][1:]}"
         leaf = parts[-1]

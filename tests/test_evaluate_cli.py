@@ -1,0 +1,93 @@
+"""evaluate.py CLI: test-set metrics + the TIMIT WER path with a stub ASR
+(VERDICT round-1 item 10; reference use case data_module.py:280-330,
+util/other.py:159-183)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def timit_tree(tmp_path_factory):
+    from storm_tpu.data.audio import save_wav
+
+    root = tmp_path_factory.mktemp("timit")
+    rng = np.random.default_rng(0)
+    os.makedirs(root / "audio" / "tt" / "clean")
+    os.makedirs(root / "audio" / "tt" / "noisy")
+    os.makedirs(root / "transcriptions" / "tt")
+    texts = ["the cat sat", "a dog ran fast"]
+    for i, text in enumerate(texts):
+        n = int(rng.integers(8000, 12000))
+        x = 0.3 * np.sin(2 * np.pi * 300 * np.arange(n) / 16000)
+        save_wav(root / "audio" / "tt" / "clean" / f"u{i}.wav", x)
+        save_wav(root / "audio" / "tt" / "noisy" / f"u{i}.wav",
+                 x + 0.05 * rng.standard_normal(n))
+        with open(root / "transcriptions" / "tt" / f"u{i}.txt", "w") as f:
+            f.write(f"0 {n} {text}")  # TIMIT: two sample indices + words
+    return root
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    import jax
+
+    from storm_tpu.ckpt import save_checkpoint
+    from storm_tpu.models.factory import build_model
+
+    out = tmp_path_factory.mktemp("ckpt") / "ckpt"
+    config = {"mode": "regen-joint-training", "nf": 8, "ch_mult": [1, 1],
+              "image_size": 64, "sde": "ouve"}
+    model = build_model(dict(config))
+    state = model.init_state(jax.random.PRNGKey(0), (1, 256, 64))
+    save_checkpoint(str(out), state, config)
+    return str(out)
+
+
+def _run(args, timeout=900):
+    env = dict(os.environ)
+    env["STORM_TPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "evaluate.py")] + args,
+        capture_output=True, text=True, timeout=timeout, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-4000:] + out.stdout[-1000:]
+    return out.stdout
+
+
+def test_evaluate_metrics_and_wer(timit_tree, tiny_ckpt, tmp_path):
+    # stub ASR: echoes the matching reference transcript, so a perfect ASR
+    # on file u0 and a wrong one on u1 (hypothesis fixed per wav name is
+    # impossible for a stub -> use a constant hypothesis; u0 differs)
+    asr = tmp_path / "asr.sh"
+    asr.write_text("#!/bin/sh\necho 'a dog ran fast'\n")
+    os.chmod(asr, 0o755)
+
+    csv_path = tmp_path / "results.csv"
+    out = _run([
+        "--ckpt", tiny_ckpt, "--mode", "storm",
+        "--base_dir", str(timit_tree), "--format", "timit",
+        "--N", "2", "--corrector", "none", "--batch", "2",
+        "--wer", "--asr_cmd", f"{asr} {{wav}}",
+        "--csv", str(csv_path),
+    ])
+    assert "wer:" in out and "si_sdr:" in out and "estoi:" in out
+
+    import csv as csv_mod
+
+    rows = list(csv_mod.DictReader(open(csv_path)))
+    assert len(rows) == 2
+    by_file = {r["file"]: r for r in rows}
+    # u1's transcript matches the stub ASR exactly -> WER 0
+    assert float(by_file["u1.wav"]["wer"]) == 0.0
+    # u0's does not -> WER 1 (3 ref words, all wrong + 1 insertion)
+    assert float(by_file["u0.wav"]["wer"]) > 0.5
+    # signal metrics finite (PESQ NaN is expected in this image)
+    assert np.isfinite(float(by_file["u0.wav"]["si_sdr"]))
+    assert np.isfinite(float(by_file["u0.wav"]["estoi"]))

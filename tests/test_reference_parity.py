@@ -115,6 +115,38 @@ def test_ref_ncsnpp_size_variants(ref_backbones, cls_name, kwargs):
     _assert_forward_parity(ref, kwargs, 256, 64)
 
 
+def test_ref_ae_ncsnpp_forward(ref_backbones):
+    """ae-ncsnpp: learned Conv1d filterbank + trunk + ConvTranspose1d
+    decoder (sgmse/backbones/ncsnpp.py:516-931). Weights are perturbed from
+    init so the zero-initialized output convs don't make the comparison
+    vacuous; exercises the encoder/decoder converter mapping incl. the
+    conv-transpose kernel flip."""
+    from storm_tpu.backbones.ncsnpp import AutoEncodeNCSNpp as MyAE
+
+    kwargs = dict(nf=16, ch_mult=(1, 2), image_size=64)
+    ref = ref_backbones.AutoEncodeNCSNpp(**kwargs)
+    ref.eval()
+    g = torch.Generator().manual_seed(0)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.add_(0.02 * torch.randn(p.shape, generator=g))
+
+    params = convert_backbone_state_dict(ref.state_dict())
+    my = MyAE.from_kwargs(**kwargs)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 1, 3000)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(x), torch.ones(2)).numpy()
+    out_j = np.asarray(
+        my.apply({"params": jax.tree.map(jnp.asarray, params)},
+                 jnp.asarray(x), jnp.ones((2,)))
+    )
+    assert out_j.shape == out_t.shape
+    np.testing.assert_allclose(
+        out_j, out_t, atol=max(1e-5, 1e-4 * np.abs(out_t).max())
+    )
+
+
 def _assert_forward_parity(ref, kwargs, F, T, t_val=0.7):
     ref.eval()
     disc = kwargs.get("discriminative", False)

@@ -39,6 +39,13 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="measure training throughput (joint StoRM step) "
                     "instead of enhancement")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the timed region to "
+                    "DIR (TensorBoard-viewable). NOTE: the tunneled axon "
+                    "backend in this CI crashes under the profiler — use on "
+                    "standard TPU runtimes")
+    ap.add_argument("--nf", type=int, default=None,
+                    help="override backbone width (default: full 27.8M)")
     args = ap.parse_args()
 
     from storm_tpu.utils.jaxcache import enable_jax_compilation_cache
@@ -46,10 +53,18 @@ def main():
     from storm_tpu.models import StochasticRegenerationModel
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    extra = {"nf": args.nf} if args.nf else {}
     model = StochasticRegenerationModel.create(
         backbone_denoiser="ncsnpp", backbone_score="ncsnpp", sde="ouve",
-        dtype=dtype,
+        dtype=dtype, **extra,
     )
+
+    import contextlib
+
+    def profiled():
+        if args.profile:
+            return jax.profiler.trace(args.profile)
+        return contextlib.nullcontext()
 
     sr = 16000
     hop = model.stft_config.hop_length
@@ -68,12 +83,13 @@ def main():
         state, aux = step(state, batch, jax.random.PRNGKey(2))
         _ = float(aux["loss"])
         times = []
-        for i in range(args.reps):
-            t0 = time.perf_counter()
-            for _j in range(5):
-                state, aux = step(state, batch, jax.random.PRNGKey(3 + i))
-            _ = float(aux["loss"])
-            times.append((time.perf_counter() - t0) / 5)
+        with profiled():
+            for i in range(args.reps):
+                t0 = time.perf_counter()
+                for _j in range(5):
+                    state, aux = step(state, batch, jax.random.PRNGKey(3 + i))
+                _ = float(aux["loss"])
+                times.append((time.perf_counter() - t0) / 5)
         wall = min(times)
         print(json.dumps({
             "metric": "train_utt_per_sec_per_chip",
@@ -110,12 +126,13 @@ def main():
     _ = np.asarray(x_hat)
 
     times = []
-    for i in range(args.reps):
-        k = jax.random.PRNGKey(i + 2)
-        t0 = time.perf_counter()
-        x_hat, nfe = enhance(params, y, k)
-        _ = np.asarray(x_hat)
-        times.append(time.perf_counter() - t0)
+    with profiled():
+        for i in range(args.reps):
+            k = jax.random.PRNGKey(i + 2)
+            t0 = time.perf_counter()
+            x_hat, nfe = enhance(params, y, k)
+            _ = np.asarray(x_hat)
+            times.append(time.perf_counter() - t0)
 
     wall = min(times)
     value = audio_sec / wall  # audio-sec per second per chip

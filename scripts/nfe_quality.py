@@ -1,0 +1,130 @@
+"""Quality-vs-NFE sweep: PC sampler vs exponential integrators.
+
+Produces the SI-SDR/ESTOI vs NFE table for BASELINE.md (VERDICT round-1
+item 3): on a converged checkpoint, compare the reference's PC schedules
+against this framework's ETD/Heun probability-flow integrators at low NFE.
+
+    python scripts/nfe_quality.py --ckpt <dir> --base_dir <corpus> \
+        [--num_files 16] [--json out.json]
+
+Config grid (NFE = backbone evals per utterance, incl. 1 denoiser pass for
+storm modes; sampling/__init__.py:65 accounting):
+    pc   N=50 ald x1   (CLI default, NFE=101)
+    pc   N=50 none     (NFE=51)
+    pc   N=30 none     (StoRM enhance default, NFE=31)
+    ode  heun  N=20    (NFE=41)
+    ode  etd2  N=20    (NFE=41)
+    ode  etd2  N=10    (NFE=21)
+    ode  etd1  N=10    (NFE=11)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CONFIGS = [
+    ("pc N=50 ald", dict(sampler_type="pc", N=50, corrector="ald",
+                         corrector_steps=1)),
+    ("pc N=50 none", dict(sampler_type="pc", N=50, corrector="none")),
+    ("pc N=30 none", dict(sampler_type="pc", N=30, corrector="none")),
+    ("ode heun N=20", dict(sampler_type="ode", N=20, method="heun")),
+    ("ode etd2 N=20", dict(sampler_type="ode", N=20, method="etd2")),
+    ("ode etd2 N=10", dict(sampler_type="ode", N=10, method="etd2")),
+    ("ode etd1 N=10", dict(sampler_type="ode", N=10, method="etd1")),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--base_dir", required=True)
+    ap.add_argument("--format", default="wsj0")
+    ap.add_argument("--num_files", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    if os.environ.get("STORM_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["STORM_TPU_PLATFORM"])
+    from storm_tpu.utils.jaxcache import enable_jax_compilation_cache
+    enable_jax_compilation_cache()
+    from storm_tpu.ckpt import load_checkpoint
+    from storm_tpu.data.datamodule import SpecsDataModule
+    from storm_tpu.models.factory import build_model
+    from storm_tpu.utils.inference import BucketedEnhancer
+    from storm_tpu.utils.metrics import si_sdr
+    from storm_tpu.utils.stoi import stoi
+
+    config, state = load_checkpoint(args.ckpt)
+    model = build_model(dict(config))
+    params = state.ema_params
+
+    dm = SpecsDataModule(base_dir=args.base_dir, format=args.format)
+    dm.setup("test")
+    n = min(args.num_files, len(dm.test_set))
+    items = [dm.test_set.__getitem__(i, raw=True) for i in range(n)]
+    xs = [it[0][0] for it in items]
+    ys = [it[1][0] for it in items]
+    noisy_sisdr = float(np.mean([si_sdr(x, y) for x, y in zip(xs, ys)]))
+    noisy_estoi = float(np.mean(
+        [stoi(x, y, 16000, extended=True) for x, y in zip(xs, ys)]
+    ))
+    print(f"{n} test files; noisy: SI-SDR {noisy_sisdr:.2f} dB, "
+          f"ESTOI {noisy_estoi:.3f}")
+
+    results = []
+    for name, kw in CONFIGS:
+        enhancer = BucketedEnhancer(model, params, minibatch=args.batch, **kw)
+        key = jax.random.PRNGKey(args.seed)
+        # bucket-grouped batched enhancement
+        groups = {}
+        for i, y in enumerate(ys):
+            groups.setdefault(enhancer.padded_len(len(y)), []).append(i)
+        x_hats = [None] * n
+        nfe = None
+        for L, idxs in sorted(groups.items()):
+            batch = np.stack(
+                [np.pad(ys[i], (0, L - len(ys[i]))) for i in idxs]
+            ).astype(np.float32)
+            key, k = jax.random.split(key)
+            xh, nfe_g = enhancer(batch, k)
+            if nfe is None:
+                # enhancer sums NFE over minibatch chunks; report per call
+                n_chunks = -(-len(idxs) // args.batch)
+                nfe = nfe_g // n_chunks
+            for j, i in enumerate(idxs):
+                x_hats[i] = np.asarray(xh[j])[: len(ys[i])]
+        sisdr = float(np.mean([si_sdr(x, xh) for x, xh in zip(xs, x_hats)]))
+        estoi = float(np.mean(
+            [stoi(x, xh, 16000, extended=True) for x, xh in zip(xs, x_hats)]
+        ))
+        row = {"config": name, "nfe": int(nfe), "si_sdr": round(sisdr, 2),
+               "estoi": round(estoi, 3), **kw}
+        results.append(row)
+        print(f"{name:18s} nfe={nfe:4d}  SI-SDR {sisdr:6.2f} dB  "
+              f"ESTOI {estoi:.3f}")
+
+    print("\n| config | NFE | SI-SDR (dB) | ESTOI |")
+    print("|---|---|---|---|")
+    print(f"| noisy input | — | {noisy_sisdr:.2f} | {noisy_estoi:.3f} |")
+    for r in results:
+        print(f"| {r['config']} | {r['nfe']} | {r['si_sdr']} | {r['estoi']} |")
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"noisy": {"si_sdr": noisy_sisdr, "estoi": noisy_estoi},
+                       "results": results}, f, indent=2)
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()

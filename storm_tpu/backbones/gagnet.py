@@ -394,7 +394,10 @@ class GlanceGazeModule(fnn.Module):
     def __call__(self, feat_x, pre_x):
         """feat_x (B, T, d_feat); pre_x (B, T, F, 2) -> (B, T, F, 2)."""
         B, T, F, _ = pre_x.shape
-        pre_flat = pre_x.reshape(B, T, F * 2)
+        # planar [re(all F), im(all F)] flattening — the reference's
+        # pre_x.view(b, 2*F, T) channel order (gagnet.py:258-262), so
+        # converted checkpoints line up with the gated input convs
+        pre_flat = jnp.transpose(pre_x, (0, 1, 3, 2)).reshape(B, T, 2 * F)
         gain = GlanceBlock(self.kd1, self.cd1, self.d_feat, self.p,
                            self.dilas, self.freq_bins, self.causal,
                            self.acti_type, self.norm_type,
@@ -469,7 +472,9 @@ class GaGNet(fnn.Module):
             feat = UNetEncoder(self.cin, self.k1, self.c, self.norm_type,
                                name="en")(h)
         Bf, Tf, Ff, Cf = feat.shape
-        z = feat.reshape(Bf, Tf, Ff * Cf)  # (B, T, d_feat)
+        # C-major flattening (channel slow, freq fast) — the reference's
+        # feat_x.transpose(-2,-1).view(b, -1, T) order (gagnet.py:110-115)
+        z = jnp.transpose(feat, (0, 1, 3, 2)).reshape(Bf, Tf, Cf * Ff)
 
         pre_z = h  # (B, T, F_odd, 2)
         for i in range(self.q):

@@ -118,6 +118,206 @@ def convert_backbone_state_dict(
     return out
 
 
+def convert_convtasnet_state_dict(
+    sd: Mapping[str, Any], prefix: str = ""
+) -> Dict[str, Any]:
+    """Convert a torch ConvTasNet state_dict (sgmse/backbones/convtasnet.py)
+    into this framework's flax param tree.
+
+    Name scheme: `TCN.TCN.{i}.*` -> `TCN.TCN_{i}.*`, module params
+    flattened (`conv1d.weight` -> `conv1d_w` (W,I,O)); norm weight->gain;
+    PReLU weight->alpha; the ConvTranspose1d decoder kernel is spatially
+    flipped for the lhs-dilated-conv formulation (see `decoder_w` note in
+    `convert_backbone_state_dict`).
+    """
+    out: Dict[str, Any] = {}
+    for key, value in sd.items():
+        if prefix:
+            if not key.startswith(prefix):
+                continue
+            key = key[len(prefix):]
+        v = _to_np(value)
+        if key == "encoder.weight":
+            _set(out, ("encoder_w",), np.transpose(v, (2, 1, 0)))
+            continue
+        if key == "decoder.weight":
+            _set(out, ("decoder_w",),
+                 np.ascontiguousarray(np.transpose(v, (2, 0, 1))[::-1]))
+            continue
+        parts = key.split(".")
+        assert parts[0] == "TCN", f"unexpected ConvTasNet key {key}"
+        if parts[1] == "LN":  # cLN/gLN: weight->gain
+            name = {"weight": "gain", "bias": "bias"}[parts[2]]
+            _set(out, ("TCN", "LN", name), v)
+        elif parts[1] == "BN":  # bottleneck Conv1d, flat params
+            if parts[2] == "weight":
+                _set(out, ("TCN", "BN_w"), np.transpose(v, (2, 1, 0)))
+            else:
+                _set(out, ("TCN", "BN_b"), v)
+        elif parts[1] == "output":  # Sequential(PReLU, Conv1d)
+            if parts[2] == "0":
+                _set(out, ("TCN", "output_prelu", "alpha"), v)
+            elif parts[3] == "weight":
+                _set(out, ("TCN", "output_w"), np.transpose(v, (2, 1, 0)))
+            else:
+                _set(out, ("TCN", "output_b"), v)
+        elif parts[1] == "TCN":  # the dilated conv blocks
+            blk = ("TCN", f"TCN_{int(parts[2])}")
+            sub, leaf = parts[3], parts[4]
+            if sub in ("conv1d", "dconv1d", "res_out", "skip_out"):
+                if leaf == "weight":
+                    _set(out, blk + (f"{sub}_w",), np.transpose(v, (2, 1, 0)))
+                else:
+                    _set(out, blk + (f"{sub}_b",), v)
+            elif sub in ("reg1", "reg2"):
+                name = {"weight": "gain", "bias": "bias"}[leaf]
+                _set(out, blk + (sub, name), v)
+            elif sub in ("nonlinearity1", "nonlinearity2"):
+                _set(out, blk + (sub, "alpha"), v)
+            else:
+                raise ValueError(f"unexpected ConvTasNet key {key}")
+        else:
+            raise ValueError(f"unexpected ConvTasNet key {key}")
+    return out
+
+
+def convert_gagnet_state_dict(
+    sd: Mapping[str, Any], prefix: str = ""
+) -> Dict[str, Any]:
+    """Convert a torch GaGNet state_dict (sgmse/backbones/gagnet.py) into
+    this framework's flax param tree.
+
+    torch Sequential indices are resolved by role: GateConv2d's inner conv
+    (any index, 4D OIHW) -> `*_gate.{w,b}` / flat (H,W,I,O); NormSwitch
+    `.norm.weight/bias` -> `{scale,bias}`; PReLU 1-D `.weight` -> `alpha`;
+    Conv1d (O,I,W) -> (W,I,O); ConvTranspose2d (I,O,H,W) -> flax
+    ConvTranspose kernel (H,W,I,O).
+    """
+    out: Dict[str, Any] = {}
+
+    def conv1d(v):
+        return np.transpose(v, (2, 1, 0))
+
+    def conv2d(v):
+        return np.transpose(v, (2, 3, 1, 0))
+
+    for key, value in sd.items():
+        if prefix:
+            if not key.startswith(prefix):
+                continue
+            key = key[len(prefix):]
+        v = _to_np(value)
+        p = key.split(".")
+        if p[0] == "en":
+            if p[1] == "last_conv":
+                # Sequential(GateConv2d, NormSwitch, PReLU)
+                if p[2] == "0":  # gate conv: en.last_conv.0.conv.{k}.{w,b}
+                    _set(out, ("en", "last_gate",
+                               "w" if p[-1] == "weight" else "b"),
+                         conv2d(v) if v.ndim == 4 else v)
+                elif p[2] == "1":
+                    _set(out, ("en", "last_norm",
+                               "scale" if p[-1] == "weight" else "bias"), v)
+                else:
+                    _set(out, ("en", "last_prelu", "alpha"), v)
+            elif p[1] == "meta_unet_list":
+                mu = ("en", f"meta_unet_{int(p[2])}")
+                sub = p[3]
+                if sub == "in_conv":
+                    if p[4] == "0":
+                        _set(out, mu + ("in_conv_gate",
+                                        "w" if p[-1] == "weight" else "b"),
+                             conv2d(v) if v.ndim == 4 else v)
+                    elif p[4] == "1":
+                        _set(out, mu + ("in_conv_norm",
+                                        "scale" if p[-1] == "weight" else "bias"),
+                             v)
+                    else:
+                        _set(out, mu + ("in_conv_prelu", "alpha"), v)
+                elif sub == "enco":
+                    blk = mu + (f"enco_{int(p[4])}",)
+                    if p[5] == "conv":
+                        if p[6] == "0":
+                            _set(out, blk + ("w" if p[-1] == "weight" else "b",),
+                                 conv2d(v) if v.ndim == 4 else v)
+                        elif p[6] == "1":
+                            _set(out, blk + ("norm",
+                                             "scale" if p[-1] == "weight" else "bias"),
+                                 v)
+                        else:
+                            _set(out, blk + ("prelu", "alpha"), v)
+                elif sub == "deco":
+                    blk = mu + (f"deco_{int(p[4])}",)
+                    if p[5] == "deconv":
+                        if p[6] == "0":
+                            if p[-1] == "weight":
+                                # ConvTranspose2d (I,O,H,W) -> flax
+                                # ConvTranspose kernel (H,W,I,O) with a
+                                # spatial flip (flax does not flip; torch
+                                # conv_transpose convolves)
+                                _set(out, blk + ("deconv", "kernel"),
+                                     np.ascontiguousarray(
+                                         np.transpose(v, (2, 3, 0, 1))[::-1, ::-1]
+                                     ))
+                            else:
+                                _set(out, blk + ("deconv", "bias"), v)
+                        elif p[6] == "1":
+                            _set(out, blk + ("norm",
+                                             "scale" if p[-1] == "weight" else "bias"),
+                                 v)
+                        else:
+                            _set(out, blk + ("prelu", "alpha"), v)
+                else:
+                    raise ValueError(f"unexpected GaGNet key {key}")
+            else:
+                raise ValueError(f"unexpected GaGNet key {key}")
+        elif p[0] == "gags":
+            blk = (f"gag_{int(p[1])}", p[2])  # glance_block / gaze_block
+            sub = p[3]
+            if sub == "in_conv_main":
+                _set(out, blk + ("in_gated",
+                                 "main_w" if p[-1] == "weight" else "main_b"),
+                     conv1d(v) if v.ndim == 3 else v)
+            elif sub == "in_conv_gate":
+                _set(out, blk + ("in_gated",
+                                 "gate_w" if p[-1] == "weight" else "gate_b"),
+                     conv1d(v) if v.ndim == 3 else v)
+            elif sub in ("linear_g", "linear_r", "linear_i"):
+                _set(out, blk + (f"{sub}_w" if p[-1] == "weight" else f"{sub}_b",),
+                     conv1d(v) if v.ndim == 3 else v)
+            elif sub in ("tcn_g", "tcm_r", "tcm_i", "tcm_ri"):
+                # {sub}.{i}.tcns.{j}.<SqueezedTCM param>
+                grp = blk + (f"{sub}_{int(p[4])}", f"tcm_{int(p[6])}")
+                tail = p[7:]
+                if tail[0] == "in_conv":
+                    _set(out, grp + ("in_conv_w",), conv1d(v))
+                elif tail[0] == "d_conv":
+                    if tail[1] == "0":
+                        _set(out, grp + ("d_prelu", "alpha"), v)
+                    elif tail[1] == "1":
+                        _set(out, grp + ("d_norm",
+                                         "scale" if tail[-1] == "weight" else "bias"),
+                             v)
+                    else:  # the dilated Conv1d (index 3, after the pad)
+                        _set(out, grp + ("d_conv_w",), conv1d(v))
+                elif tail[0] == "out_conv":
+                    if tail[1] == "0":
+                        _set(out, grp + ("out_prelu", "alpha"), v)
+                    elif tail[1] == "1":
+                        _set(out, grp + ("out_norm",
+                                         "scale" if tail[-1] == "weight" else "bias"),
+                             v)
+                    else:
+                        _set(out, grp + ("out_conv_w",), conv1d(v))
+                else:
+                    raise ValueError(f"unexpected GaGNet key {key}")
+            else:
+                raise ValueError(f"unexpected GaGNet key {key}")
+        else:
+            raise ValueError(f"unexpected GaGNet key {key}")
+    return out
+
+
 def _iter_trainable_keys(sd: Mapping[str, Any]) -> Iterable[str]:
     """state_dict keys in order, skipping frozen params (GFP W is
     requires_grad=False in the reference and thus absent from torch-ema's

@@ -115,6 +115,63 @@ def test_ref_ncsnpp_size_variants(ref_backbones, cls_name, kwargs):
     _assert_forward_parity(ref, kwargs, 256, 64)
 
 
+def test_ref_convtasnet_forward(ref_backbones):
+    """ConvTasNet waveform denoiser (sgmse/backbones/convtasnet.py).
+
+    The reference returns stride extra samples at both ends (it never crops
+    the decoder overlap); this framework crops to the input length, which
+    corresponds to reference samples [stride : stride+T]."""
+    from storm_tpu.backbones.convtasnet import ConvTasNet as MyCTN
+    from storm_tpu.compat.torch_ckpt import convert_convtasnet_state_dict
+
+    ref = ref_backbones.ConvTasNet()
+    ref.eval()
+    params = convert_convtasnet_state_dict(ref.state_dict())
+    my = MyCTN.from_kwargs()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 2048)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        out_t = np.squeeze(ref(torch.from_numpy(x), torch.ones(2)).numpy())
+    out_j = np.squeeze(np.asarray(
+        my.apply({"params": jax.tree.map(jnp.asarray, params)},
+                 jnp.asarray(x), jnp.ones((2,)))
+    ))
+    stride = 16
+    np.testing.assert_allclose(
+        out_j, out_t[:, stride:stride + 2048], atol=5e-5
+    )
+
+
+def test_ref_gagnet_forward(ref_backbones):
+    """GaGNet glance-and-gaze denoiser (sgmse/backbones/gagnet.py) with the
+    registry defaults; exercises the 815-param converter incl. gate convs,
+    transposed convs (spatial flip) and the planar channel flattenings."""
+    from storm_tpu.backbones.gagnet import GaGNet as MyGag
+    from storm_tpu.compat.torch_ckpt import convert_gagnet_state_dict
+
+    kw = dict(cin=2, k1=(2, 3), k2=(1, 3), c=64, kd1=3, cd1=64, d_feat=448,
+              p=2, q=3, dilas=[1, 2, 5, 9], fft_num=512, is_u2=True,
+              causal=False, is_squeezed=False, acti_type="sigmoid",
+              intra_connect="cat", norm_type="IN", dnn_channels=1)
+    ref = ref_backbones.GaGNet(**kw)
+    ref.eval()
+    params = convert_gagnet_state_dict(ref.state_dict())
+    my = MyGag.from_kwargs(**kw)
+    rng = np.random.default_rng(0)
+    F, T = 256, 16  # even F: the reference's odd-F branch is a known bug
+    xr = rng.standard_normal((1, 1, F, T)).astype(np.float32) * 0.3
+    xi = rng.standard_normal((1, 1, F, T)).astype(np.float32) * 0.3
+    xt = torch.complex(torch.from_numpy(xr), torch.from_numpy(xi))
+    with torch.no_grad():
+        out_t = ref(xt)
+    out_j = np.asarray(
+        my.apply({"params": jax.tree.map(jnp.asarray, params)},
+                 jnp.asarray(np.stack([xr, xi], axis=-1)), jnp.ones((1,)))
+    )
+    ot = np.squeeze(_unpack_torch(out_t))
+    np.testing.assert_allclose(np.squeeze(out_j), ot, atol=2e-4)
+
+
 def test_ref_ae_ncsnpp_forward(ref_backbones):
     """ae-ncsnpp: learned Conv1d filterbank + trunk + ConvTranspose1d
     decoder (sgmse/backbones/ncsnpp.py:516-931). Weights are perturbed from

@@ -57,7 +57,13 @@ def main():
     parser.add_argument("--batch", type=int, default=1,
                         help="serving mode: group same-length-bucket files "
                         "into batches of up to this size for throughput")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard serving batches over ALL visible "
+                        "devices (1-D mesh, batch-split; params replicated) "
+                        "— implies batched serving")
     args = parser.parse_args()
+    if args.data_parallel and args.batch <= 1:
+        args.batch = 8
 
     import jax
     import numpy as np
@@ -89,10 +95,12 @@ def main():
     enhancer = BucketedEnhancer(
         model, params,
         minibatch=args.batch if args.batch > 1 else None,
+        data_parallel=args.data_parallel,
         sampler_type=args.sampler, predictor=args.predictor,
         corrector=args.corrector, corrector_steps=args.corrector_steps,
         snr=args.snr, N=args.N, method=args.ode_method,
     )
+    args.batch = max(args.batch, enhancer.minibatch or 1)
 
     noisy_files = sorted(glob.glob(os.path.join(args.test_dir, "*.wav")))
     if not noisy_files:

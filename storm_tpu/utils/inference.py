@@ -18,10 +18,17 @@ from .stoi import stoi
 
 
 class BucketedEnhancer:
-    """Caches jitted enhance programs per padded input length."""
+    """Caches jitted enhance programs per padded input length.
+
+    With `data_parallel=True`, every minibatch chunk is sharded over all
+    visible devices on a 1-D `jax.sharding.Mesh` (batch axis split,
+    params replicated) — reverse diffusion is embarrassingly parallel over
+    utterances, so serving throughput scales linearly with chip count.
+    """
 
     def __init__(self, model, params, bucket_frames: int = 64,
-                 minibatch: Optional[int] = None, **enhance_kwargs):
+                 minibatch: Optional[int] = None,
+                 data_parallel: bool = False, **enhance_kwargs):
         self.model = model
         self.params = params
         self.enhance_kwargs = enhance_kwargs
@@ -29,6 +36,20 @@ class BucketedEnhancer:
         self.bucket_samples = bucket_frames * hop
         self.minibatch = minibatch  # sequential chunking (sgmse/model.py:210-222)
         self._cache: Dict[int, object] = {}
+        self._data_sharding = None
+        if data_parallel:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            devices = np.array(jax.devices())
+            mesh = Mesh(devices, ("data",))
+            n = len(devices)
+            if self.minibatch is None:
+                self.minibatch = n
+            elif self.minibatch % n:
+                # row-padded chunks must split evenly across devices
+                self.minibatch = -(-self.minibatch // n) * n
+            self._data_sharding = NamedSharding(mesh, P("data"))
+            self.params = jax.device_put(params, NamedSharding(mesh, P()))
 
     def padded_len(self, T: int) -> int:
         """Bucketed (compile-cache) input length for a T-sample utterance."""
@@ -80,7 +101,11 @@ class BucketedEnhancer:
                         + [(0, 0)] * (chunk.ndim - 1),
                     )
                 key, k = jax.random.split(key)
-                xc, n = self._get(padded)(self.params, chunk, k)
+                chunk_dev = (
+                    jax.device_put(chunk, self._data_sharding)
+                    if self._data_sharding is not None else chunk
+                )
+                xc, n = self._get(padded)(self.params, chunk_dev, k)
                 chunks.append(np.asarray(xc)[:rows])
                 nfe += int(n)
             x_hat = np.concatenate(chunks, axis=0)

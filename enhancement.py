@@ -48,7 +48,7 @@ def main():
     parser.add_argument("--N", type=int, default=50)
     parser.add_argument("--ode-method", dest="ode_method", type=str,
                         default="etd2",
-                        choices=("euler", "heun", "rk4", "etd1", "etd2"),
+                        choices=("euler", "heun", "rk4", "etd1", "etd2", "etd2-ms"),
                         help="integrator for --sampler ode")
     parser.add_argument("--no-ema", action="store_true",
                         help="use raw instead of EMA parameters")

@@ -47,7 +47,7 @@ def main():
     ap.add_argument("--snr", type=float, default=0.5)
     ap.add_argument("--N", type=int, default=50)
     ap.add_argument("--ode-method", dest="ode_method", default="etd2",
-                    choices=("euler", "heun", "rk4", "etd1", "etd2"))
+                    choices=("euler", "heun", "rk4", "etd1", "etd2", "etd2-ms"))
     ap.add_argument("--batch", type=int, default=8,
                     help="enhancement minibatch per length bucket")
     ap.add_argument("--no-ema", action="store_true")

@@ -37,6 +37,8 @@ CONFIGS = [
     ("ode etd2 N=20", dict(sampler_type="ode", N=20, method="etd2")),
     ("ode etd2 N=10", dict(sampler_type="ode", N=10, method="etd2")),
     ("ode etd1 N=10", dict(sampler_type="ode", N=10, method="etd1")),
+    ("ode etd2-ms N=20", dict(sampler_type="ode", N=20, method="etd2-ms")),
+    ("ode etd2-ms N=10", dict(sampler_type="ode", N=10, method="etd2-ms")),
 ]
 
 

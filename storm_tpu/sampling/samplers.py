@@ -157,7 +157,7 @@ def ode_sample(
             k4 = drift(x + dt * k3, t1)
             return x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4), None
 
-    elif method in ("etd1", "etd2"):
+    elif method in ("etd1", "etd2", "etd2-ms"):
         # dx/dt = a x + N(x, t) with a = -theta (OUVE linear part),
         # N(x, t) = theta y - 0.5 g(t)^2 score(x, t)
         if not hasattr(sde, "theta"):
@@ -184,7 +184,7 @@ def ode_sample(
                 phi1 = (ea - 1.0) / a
                 return ea * x + phi1 * nonlinear(x, t0), None
 
-        else:  # etd2 (Cox-Matthews ETD2RK)
+        elif method == "etd2":  # Cox-Matthews ETD2RK
             nfe_per_step = 2
 
             def step(x, i):
@@ -198,11 +198,37 @@ def ode_sample(
                 phi2 = (ea - 1.0 - a * dt) / (a * a * dt)
                 return x_pred + phi2 * (n1 - n0), None
 
+        else:  # etd2-ms: exponential Adams-Bashforth-2 multistep
+            # Variation of constants with a linear-in-time extrapolation of
+            # the nonlinear term from the PREVIOUS step's evaluation:
+            #   x_{k+1} = e^{a dt} x_k + phi1*N_k + phi2*(N_k - N_{k-1})
+            # 2nd-order accuracy at ONE score eval per step (ETD2RK needs
+            # two); step 0 bootstraps with ETD2RK. NFE = N + 1.
+            dt = ts[1] - ts[0]  # uniform grid (linspace)
+            ea = jnp.exp(a * dt)
+            phi1 = (ea - 1.0) / a
+            phi2 = (ea - 1.0 - a * dt) / (a * a * dt)
+
+            n0 = nonlinear(x0, ts[0])
+            x_pred = ea * x0 + phi1 * n0
+            n1 = nonlinear(x_pred, ts[1])
+            x1 = x_pred + phi2 * (n1 - n0)
+
+            def ms_step(carry, i):
+                x, n_prev = carry
+                nk = nonlinear(x, ts[i])
+                x_next = ea * x + phi1 * nk + phi2 * (nk - n_prev)
+                return (x_next, nk), None
+
+            (x, _), _ = jax.lax.scan(ms_step, (x1, n1), 1 + jnp.arange(n - 1))
+            nfe = 2 + (n - 1)
+
     else:
         raise ValueError(f"Unknown ODE method {method!r}")
 
-    x, _ = jax.lax.scan(step, x0, jnp.arange(n))
-    nfe = n * nfe_per_step
+    if method != "etd2-ms":
+        x, _ = jax.lax.scan(step, x0, jnp.arange(n))
+        nfe = n * nfe_per_step
 
     if denoise:
         # One reverse-diffusion predictor step without noise

@@ -223,6 +223,15 @@ def test_etd_exponential_integrators():
     assert e_etd2_10 < e_euler50          # 2.5x fewer NFE, better accuracy
     assert e_etd2_10 < 0.01
 
+    # exponential multistep: 2nd-order accuracy at ~1 NFE/step — at equal
+    # NFE it beats both ETD1 (1st order) and plain Euler
+    e_ms_19, nfe_ms = err("etd2-ms", 19)
+    assert nfe_ms == 20                   # N + 1 (ETD2RK bootstrap)
+    e_etd1_20, _ = err("etd1", 20)
+    assert e_ms_19 < e_etd1_20
+    assert e_ms_19 < e_euler50
+    assert e_ms_19 < 0.01
+
     # OUVP has no constant linear drift -> clear error
     import pytest
 

@@ -28,12 +28,14 @@ def main():
                         help="Checkpoint directory (from train.py).")
     parser.add_argument("--mode", required=True,
                         choices=["score-only", "denoiser-only", "storm"])
-    parser.add_argument("--sampler", type=str, choices=("pc", "ode"),
-                        default="pc",
+    parser.add_argument("--sampler", type=str,
+                        choices=("pc", "ode", "picard"), default="pc",
                         help="pc: predictor-corrector (reference default); "
                         "ode: deterministic probability-flow integrator — "
                         "with --ode-method etd2 this reaches comparable "
-                        "quality at far fewer steps (see BASELINE.md)")
+                        "quality at far fewer steps (see BASELINE.md); "
+                        "picard: parallel-in-time probability flow (single-"
+                        "file latency lever, --sweeps)")
     parser.add_argument("--predictor", type=str, default="reverse_diffusion",
                         choices=("reverse_diffusion", "euler_maruyama",
                                  "etd", "none"),
@@ -50,6 +52,8 @@ def main():
                         default="etd2",
                         choices=("euler", "heun", "rk4", "etd1", "etd2", "etd2-ms"),
                         help="integrator for --sampler ode")
+    parser.add_argument("--sweeps", type=int, default=8,
+                        help="Picard iterations for --sampler picard")
     parser.add_argument("--no-ema", action="store_true",
                         help="use raw instead of EMA parameters")
     parser.add_argument("--timeit", action="store_true",
@@ -98,7 +102,7 @@ def main():
         data_parallel=args.data_parallel,
         sampler_type=args.sampler, predictor=args.predictor,
         corrector=args.corrector, corrector_steps=args.corrector_steps,
-        snr=args.snr, N=args.N, method=args.ode_method,
+        snr=args.snr, N=args.N, method=args.ode_method, sweeps=args.sweeps,
     )
     args.batch = max(args.batch, enhancer.minibatch or 1)
 

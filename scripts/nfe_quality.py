@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--format", default="wsj0")
     ap.add_argument("--num_files", type=int, default=16)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--bucket_frames", type=int, default=128,
+                    help="compile-bucket granularity (coarser = fewer "
+                    "compiles, more padding)")
     ap.add_argument("--json", default=None)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -85,7 +88,8 @@ def main():
 
     results = []
     for name, kw in CONFIGS:
-        enhancer = BucketedEnhancer(model, params, minibatch=args.batch, **kw)
+        enhancer = BucketedEnhancer(model, params, minibatch=args.batch,
+                                    bucket_frames=args.bucket_frames, **kw)
         key = jax.random.PRNGKey(args.seed)
         # bucket-grouped batched enhancement
         groups = {}

@@ -206,6 +206,16 @@ def convert_gagnet_state_dict(
             if not key.startswith(prefix):
                 continue
             key = key[len(prefix):]
+        if key.split(".")[-1] in ("running_mean", "running_var",
+                                  "num_batches_tracked"):
+            # norm_type="BN" checkpoints carry running statistics this
+            # framework's always-batch-stats GaGNet cannot honor (the
+            # reference itself warns BN misbehaves here; default is IN)
+            raise NotImplementedError(
+                "GaGNet checkpoints trained with norm_type='BN' are not "
+                "convertible (running statistics unsupported); retrain "
+                "with the default norm_type='IN'"
+            )
         v = _to_np(value)
         p = key.split(".")
         if p[0] == "en":

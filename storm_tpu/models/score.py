@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import optax
 
 from ..backbones import BackboneRegistry
-from ..sampling.samplers import ode_sample, pc_sample
+from ..sampling.samplers import ode_sample, pc_sample, picard_sample
 from ..sde.sdes import SDERegistry
 from ..signal import cplx
 from ..signal.stft import STFTConfig
@@ -245,6 +245,10 @@ class ScoreModel:
                 )
             elif sampler_type == "ode":
                 sample, nfe = ode_sample(
+                    key, self.sde, score_fn, Y, N=N, eps=self.t_eps, **kwargs
+                )
+            elif sampler_type == "picard":
+                sample, nfe = picard_sample(
                     key, self.sde, score_fn, Y, N=N, eps=self.t_eps, **kwargs
                 )
             else:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 
 from ..backbones import BackboneRegistry
-from ..sampling.samplers import ode_sample, pc_sample
+from ..sampling.samplers import ode_sample, pc_sample, picard_sample
 from ..sde.sdes import SDERegistry
 from ..signal import cplx
 from ..signal.stft import STFTConfig
@@ -407,6 +407,13 @@ class StochasticRegenerationModel:
                     )
                 elif sampler_type == "ode":
                     sample, n = ode_sample(
+                        key, self.sde, score_fn, Y_denoised,
+                        N=N, eps=self.t_eps, **kwargs,
+                    )
+                elif sampler_type == "picard":
+                    # parallel-in-time probability flow (latency lever for
+                    # small serving batches; samplers.picard_sample)
+                    sample, n = picard_sample(
                         key, self.sde, score_fn, Y_denoised,
                         N=N, eps=self.t_eps, **kwargs,
                     )

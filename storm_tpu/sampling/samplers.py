@@ -244,6 +244,78 @@ def ode_sample(
     return x, nfe
 
 
+def picard_sample(
+    key,
+    sde,
+    score_fn: Callable,
+    y,
+    N: Optional[int] = None,
+    sweeps: int = 8,
+    denoise: bool = True,
+    eps: float = 3e-2,
+    **ignored_kwargs,
+):
+    """Parallel-in-time probability-flow sampling via Picard iteration
+    (ParaDiGMS-style, arXiv:2305.16317 — beyond the reference).
+
+    Instead of N sequential score evaluations, each sweep evaluates the
+    drift at ALL N grid points in one batched call (time folded into the
+    batch axis) and rebuilds the trajectory by prefix-summing Euler
+    increments from the shared initial state. Picard iteration on explicit
+    Euler is exact after N sweeps and in practice converges in far fewer —
+    so single-utterance latency scales with `sweeps` batched evals instead
+    of N sequential ones, trading FLOPs (N-wide batches keep the MXU busy)
+    for wall-clock. Use for small serving batches; for saturated batches
+    plain `ode_sample` is cheaper in total FLOPs.
+
+    Returns:
+        (x, nfe) — nfe counts score evaluations as sweeps * N.
+    """
+    if N is not None and N != sde.N:
+        sde = sde.copy(N=N)
+    n = sde.N
+    rsde = sde.reverse(score_fn, probability_flow=True)
+    B = y.shape[0]
+
+    key, kprior = jax.random.split(key)
+    x0 = sde.prior_sampling(kprior, y)
+    ts = jnp.linspace(sde.T, eps, n + 1, dtype=jnp.float32)
+    dts = ts[1:] - ts[:-1]  # (n,), negative
+
+    t_grid = jnp.broadcast_to(ts[:n, None], (n, B))  # (n, B)
+
+    # vmap over the time axis: score_fn's closed-over conditioning (batch B)
+    # broadcasts as a constant, and XLA batches the n evaluations into one
+    # wide computation — the parallel-in-time trick without touching the
+    # model's score closure.
+    drift_all = jax.vmap(lambda xb, tb: rsde.sde(xb, tb, y)[0])
+
+    dts_b = dts.reshape((n,) + (1,) * x0.ndim)
+
+    def sweep(X, _):
+        D = drift_all(X, t_grid)
+        incr = jnp.cumsum(dts_b * D, axis=0)  # (n, B, ...)
+        # x_i = x0 + sum_{j<i} dt_j d_j; x_0 stays the prior sample
+        X_new = jnp.concatenate([x0[None], x0 + incr[:-1]], axis=0)
+        return X_new, incr[-1]
+
+    X = jnp.broadcast_to(x0, (n,) + x0.shape)
+    X, last_incrs = jax.lax.scan(sweep, X, None, length=sweeps)
+    x = x0 + last_incrs[-1]  # terminal state from the final sweep
+    nfe = sweeps * n
+
+    if denoise:
+        from .predictors import reverse_diffusion_update
+
+        rsde_d = sde.reverse(score_fn, probability_flow=False)
+        vec_eps = jnp.full((B,), eps, dtype=jnp.float32)
+        _, x = reverse_diffusion_update(
+            rsde_d, x, vec_eps, y, jax.random.PRNGKey(0)
+        )
+        nfe += 1
+    return x, nfe
+
+
 def get_pc_sampler(predictor_name, corrector_name, sde, score_fn, y, **kwargs):
     """Closure-style API mirroring the reference `get_pc_sampler`
     (sgmse/sampling/__init__.py:27-68). The returned callable takes a PRNG

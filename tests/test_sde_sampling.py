@@ -240,6 +240,45 @@ def test_etd_exponential_integrators():
                    score_fn, y, N=4, method="etd1")
 
 
+def test_picard_parallel_sampler():
+    """Picard iteration: exact after N sweeps (== sequential Euler on the
+    same grid), near-converged at far fewer sweeps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from storm_tpu.sampling.samplers import ode_sample, picard_sample
+    from storm_tpu.sde.sdes import OUVESDE
+
+    sde = OUVESDE()
+    y = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 4, 6, 2)) * 0.3,
+        jnp.float32,
+    )
+
+    def score_fn(x, t, ysde):
+        std = sde._std(t)
+        return (ysde - x) / (std**2 + 0.1)[:, None, None, None]
+
+    N = 12
+    seq, _ = ode_sample(jax.random.PRNGKey(1), sde, score_fn, y, N=N,
+                        method="euler", denoise=False)
+    par_full, nfe = picard_sample(jax.random.PRNGKey(1), sde, score_fn, y,
+                                  N=N, sweeps=N, denoise=False)
+    assert nfe == N * N
+    np.testing.assert_allclose(np.asarray(par_full), np.asarray(seq),
+                               atol=1e-5)
+
+    par_6, _ = picard_sample(jax.random.PRNGKey(1), sde, score_fn, y,
+                             N=N, sweeps=6, denoise=False)
+    err6 = float(jnp.max(jnp.abs(par_6 - seq)))
+    par_2, _ = picard_sample(jax.random.PRNGKey(1), sde, score_fn, y,
+                             N=N, sweeps=2, denoise=False)
+    err2 = float(jnp.max(jnp.abs(par_2 - seq)))
+    assert err6 < err2  # monotone convergence in sweeps
+    assert err6 < 0.05 * float(jnp.max(jnp.abs(seq)))
+
+
 def test_etd_predictor_drop_in():
     """The etd predictor matches euler_maruyama trajectories at high N
     (same noise stream) and plugs into pc_sample; OUVP is rejected."""

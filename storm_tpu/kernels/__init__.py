@@ -9,7 +9,9 @@ Each op ships two implementations:
   parity with the reference's native layer and as the substrate for
   further fusion work.
 
-`upfirdn2d(..., impl="pallas"|"xla")` selects the backend.
+`upfirdn2d` is the production op (XLA lowering + reference transpose VJP);
+`upfirdn2d_pallas` is the interpret-verified Pallas reference kernel (see
+its module docstring for on-chip status on this backend).
 """
 from .fused_act import fused_leaky_relu, fused_leaky_relu_pallas
 from .upfirdn import upfirdn2d, upfirdn2d_pallas

@@ -15,16 +15,20 @@ double-backward (op/upfirdn2d.py:19-142). Structure here:
   reference backward (op/upfirdn2d.py:54-80), expressed as another
   upfirdn2d call.
 
-`upfirdn2d(x, k, up, down, pad, impl=...)` dispatches to this kernel or to
-the XLA dilated-conv lowering in storm_tpu.nn.resample (the default — XLA
-is already at speed for this op: FIR resampling is <1% of NCSN++ forward
-wall time, see /tmp profiling notes in the commit history).
+STATUS — interpret-mode REFERENCE implementation. The production op is
+`upfirdn2d` below, which always lowers through XLA's dilated conv
+(storm_tpu.nn.resample) with the reference's transpose VJP; XLA is already
+at speed for this op (FIR resampling is <1% of NCSN++ forward wall time).
+`upfirdn2d_pallas` is kept as the documented Pallas counterpart of the
+reference CUDA kernel, numerically verified against the XLA lowering and
+numpy ground truth in interpret mode (tests/test_kernels.py).
 
-Status: the Pallas path is numerically verified against the XLA lowering
-and numpy ground truth in interpret mode (tests/test_kernels.py); on this
-environment's tunneled TPU backend, Mosaic compilation of the large-shape
-FIR kernel is unstable (vmem output placement + worker crashes), so the
-XLA implementation remains the production path on all shapes.
+On-chip attempts on this environment's tunneled v5e backend (round 2,
+recorded in BASELINE.md): channel dims < 128 fail Mosaic compilation
+("slice along dim 3 must be 128-aligned" for the manual HBM->VMEM DMA);
+at C=128 the kernel compiles but faults the TPU worker at runtime. The
+production dispatch to this kernel was therefore removed — do not wire it
+into the model path on this backend.
 """
 from __future__ import annotations
 
@@ -153,21 +157,19 @@ def upfirdn2d_pallas(x, kernel, up: int = 1, down: int = 1, pad=(0, 0),
     return out[:, :Ho]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def upfirdn2d(x, kernel, up: int = 1, down: int = 1, pad=(0, 0),
-              impl: str = "xla"):
-    """upfirdn2d with selectable backend and the reference's transpose VJP."""
-    if impl == "pallas":
-        return upfirdn2d_pallas(x, kernel, up=up, down=down, pad=pad)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def upfirdn2d(x, kernel, up: int = 1, down: int = 1, pad=(0, 0)):
+    """Production upfirdn2d (XLA lowering) with the reference's transpose
+    VJP (op/upfirdn2d.py:19-142)."""
     return upfirdn2d_xla(x, kernel, up=up, down=down, pad=pad)
 
 
-def _ufd_fwd(x, kernel, up, down, pad, impl):
-    out = upfirdn2d(x, kernel, up, down, pad, impl)
+def _ufd_fwd(x, kernel, up, down, pad):
+    out = upfirdn2d(x, kernel, up, down, pad)
     return out, (x.shape, kernel)
 
 
-def _ufd_bwd(up, down, pad, impl, res, g):
+def _ufd_bwd(up, down, pad, res, g):
     """Flip-kernel / swap-up-down transpose (op/upfirdn2d.py:54-80)."""
     x_shape, kernel = res
     K = kernel.shape[0]
@@ -175,9 +177,7 @@ def _ufd_bwd(up, down, pad, impl, res, g):
     out_h = (in_h * up + pad[0] + pad[1] - K) // down + 1
     g_pad0 = K - pad[0] - 1
     g_pad1 = in_h * up - out_h * down + pad[0] - up + 1
-    grad_x = upfirdn2d(
-        g, jnp.flip(kernel), down, up, (g_pad0, g_pad1), "xla"
-    )
+    grad_x = upfirdn2d(g, jnp.flip(kernel), down, up, (g_pad0, g_pad1))
     return grad_x, None
 
 

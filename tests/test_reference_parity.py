@@ -108,6 +108,10 @@ def test_ref_ncsnpp_forward(ref_backbones, name):
 @pytest.mark.parametrize("cls_name,kwargs", [
     ("NCSNpp12M", dict(nf=96, ch_mult=(1, 2, 2, 1))),
     ("NCSNpp6M", dict(nf=96, ch_mult=(1, 1, 1, 1))),
+    # 65M 7-level variant: num_res_blocks=2 + attention at resolution 16
+    # in BOTH pyramids (sgmse/backbones/ncsnpp.py:460-470)
+    ("NCSNppLarge", dict(nf=128, ch_mult=(1, 1, 2, 2, 2, 2, 2),
+                         num_res_blocks=2, attn_resolutions=(16,))),
 ])
 def test_ref_ncsnpp_size_variants(ref_backbones, cls_name, kwargs):
     """The registered size variants (sgmse/backbones/ncsnpp.py:479-513)."""
@@ -323,6 +327,46 @@ def test_ref_score_step_loss(ref_model_mod):
         jax.tree.map(jnp.asarray, params), batch, t_used, _pack(z)[:, 0]
     )
     np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+
+
+def test_ref_score_step_gradients(ref_model_mod):
+    """FULL backward parity: d(loss)/d(params) of the DSM training step
+    matches torch autograd for every trainable tensor — validates the
+    whole backward graph (convs, GroupNorm, FIR resampling, attention)
+    against the reference, not just forwards."""
+    from storm_tpu.compat import flax_to_torch_backbone
+
+    m = ref_model_mod.ScoreModel(
+        backbone="ncsnpp", sde="ouve", data_module_cls=_DummyDM,
+        loss_type="mse", **_TINY_KW,
+    )
+    m.train(True, no_ema=True)
+    x, y, u, z = _fixed_batch()
+    with _patched_rand(u, z):
+        loss_t = m._step((x, y), 0)
+        loss_t.backward()
+    t_grads = {k: p.grad.detach().numpy()
+               for k, p in m.named_parameters() if p.grad is not None}
+
+    params = convert_backbone_state_dict(m.state_dict(), prefix="dnn.")
+    my = MyScore.create(backbone="ncsnpp", sde="ouve", loss_type="mse",
+                        **_TINY_KW)
+    t_used = jnp.asarray((u * (1.0 - 0.03) + 0.03).numpy())
+    batch = (_pack(x)[:, 0], _pack(y)[:, 0])
+    zj = _pack(z)[:, 0]
+    grads = jax.grad(
+        lambda p: my.loss_given_tz(p, batch, t_used, zj)[0]
+    )(jax.tree.map(jnp.asarray, params))
+    j_grads = flax_to_torch_backbone(
+        jax.tree.map(np.asarray, grads), prefix="dnn."
+    )
+
+    assert len(t_grads) > 100
+    for k, tv in t_grads.items():
+        jv = j_grads[k]
+        np.testing.assert_allclose(
+            jv, tv, atol=1e-5 + 1e-4 * np.abs(tv).max(), err_msg=k
+        )
 
 
 # ---------------------------------------------------------------------------

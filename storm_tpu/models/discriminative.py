@@ -178,9 +178,10 @@ class DiscriminativeModel:
                 t = jnp.ones((y_n.shape[0],), jnp.float32)
                 x_hat = self.dnn.apply({"params": params}, y_n, t)
                 return x_hat[..., :T_orig] * norm, 1
-            Y, t_frames = prepare_spec(y_n, self.stft_config, self.transform)
+            Y, _t_frames = prepare_spec(y_n, self.stft_config, self.transform)
             X_hat = self.apply(params, Y)
-            X_hat = X_hat[..., :t_frames, :]
+            # full padded spec -> iSTFT(length=T_orig), reference behavior
+            # (sgmse/model.py:362-363); see ScoreModel.make_enhance
             x_hat = spec_to_wav(
                 X_hat, self.stft_config, self.transform, length=T_orig
             )

@@ -254,7 +254,12 @@ class ScoreModel:
             else:
                 raise ValueError(f"{sampler_type} is not a valid sampler type!")
 
-            sample = sample[..., :t_frames, :]
+            # iSTFT the FULL padded spec with length=T_orig, exactly like
+            # the reference's to_audio(sample, T_orig) (sgmse/model.py:303)
+            # — the pad frames' overlap contributes to the tail samples;
+            # verified equal to the actual reference pipeline to ~1e-6
+            # (tests/test_reference_parity.py::test_ref_enhance_end_to_end)
+            del t_frames
             x_hat = spec_to_wav(
                 sample, self.stft_config, self.transform, length=T_orig
             )

@@ -425,7 +425,9 @@ class StochasticRegenerationModel:
             else:
                 sample = Y_denoised
 
-            sample = sample[..., :t_frames, :]
+            # full padded spec -> iSTFT(length=T_orig), reference behavior
+            # (sgmse/model.py:771, 705-718); see ScoreModel.make_enhance
+            del t_frames
             x_hat = spec_to_wav(
                 sample, self.stft_config, self.transform, length=T_orig
             )

@@ -329,6 +329,67 @@ def test_ref_score_step_loss(ref_model_mod):
     np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
 
 
+def test_ref_enhance_end_to_end(ref_model_mod):
+    """FULL inference-pipeline parity: this framework's jitted `enhance`
+    (normalize -> STFT -> compress -> pad -> reverse probability-flow ODE
+    -> denoise -> decompress -> iSTFT -> denormalize) matches the actual
+    reference `ScoreModel.enhance` (sgmse/model.py:273-310, scipy-RK45 ODE)
+    on the same prior noise to ~1e-6 — every signal-processing stage and
+    the integrated dynamics agree end to end."""
+    import sgmse.data_module as ref_dm_mod
+
+    from storm_tpu.models.base import normalize_wav, prepare_spec
+    from storm_tpu.signal import cplx
+
+    m = ref_model_mod.ScoreModel(
+        backbone="ncsnpp", sde="ouve",
+        data_module_cls=ref_dm_mod.SpecsDataModule,
+        loss_type="mse", **_TINY_KW,
+    )
+    m.eval(no_ema=True)
+    my = MyScore.create(backbone="ncsnpp", sde="ouve", loss_type="mse",
+                        **_TINY_KW)
+    params = jax.tree.map(
+        jnp.asarray, convert_backbone_state_dict(m.state_dict(), prefix="dnn.")
+    )
+
+    rng = np.random.default_rng(0)
+    T_wav = 7321  # deliberately awkward length (58 frames -> padded to 64)
+    y_np = (0.3 * np.sin(2 * np.pi * 300 * np.arange(T_wav) / 16000)
+            + 0.05 * rng.standard_normal(T_wav)).astype(np.float32)
+    key = jax.random.PRNGKey(5)
+
+    # my full jitted pipeline (fixed-step RK4 on the probability-flow ODE)
+    enh = my.make_enhance(0, sampler_type="ode", method="rk4", N=40)
+    x_mine = np.asarray(enh(params, jnp.asarray(y_np)[None], key)[0])[0]
+
+    # reference pipeline with the SAME prior noise (patch randn_like) and
+    # its hardcoded .cuda() neutralized; scipy at tight tolerance
+    y_n, _norm = normalize_wav(jnp.asarray(y_np)[None])
+    Y_mine, _tf = prepare_spec(y_n, my.stft_config, my.transform)
+    eps_mine = np.asarray(
+        cplx.complex_normal(jax.random.split(key)[1], Y_mine.shape[:-1])
+    )
+    eps_t = torch.complex(torch.from_numpy(eps_mine[..., 0].copy()),
+                          torch.from_numpy(eps_mine[..., 1].copy()))
+    orig_cuda, orig_rl = torch.Tensor.cuda, torch.randn_like
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.randn_like = lambda *a, **k: eps_t.clone()
+    try:
+        with torch.no_grad():
+            x_ref = np.squeeze(np.asarray(m.enhance(
+                torch.from_numpy(y_np.copy())[None], sampler_type="ode",
+                N=40, device="cpu", rtol=1e-7, atol=1e-7,
+            )))
+    finally:
+        torch.Tensor.cuda, torch.randn_like = orig_cuda, orig_rl
+
+    assert x_mine.shape == x_ref.shape == (T_wav,)
+    np.testing.assert_allclose(
+        x_mine, x_ref, atol=1e-4 * np.abs(x_ref).max()
+    )
+
+
 def test_ref_score_step_gradients(ref_model_mod):
     """FULL backward parity: d(loss)/d(params) of the DSM training step
     matches torch autograd for every trainable tensor — validates the

@@ -18,7 +18,12 @@ import torch
 import jax
 import jax.numpy as jnp
 
-from ref_loader import load_reference, load_reference_model_module
+from ref_loader import REFERENCE_ROOT, load_reference, load_reference_model_module
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_ROOT),
+    reason="reference checkout not available",
+)
 
 from storm_tpu.backbones.ncsnpp import NCSNpp as MyNCSNpp
 from storm_tpu.compat import convert_backbone_state_dict
@@ -387,6 +392,79 @@ def test_ref_enhance_end_to_end(ref_model_mod):
     assert x_mine.shape == x_ref.shape == (T_wav,)
     np.testing.assert_allclose(
         x_mine, x_ref, atol=1e-4 * np.abs(x_ref).max()
+    )
+
+
+def test_ref_storm_enhance_end_to_end(ref_model_mod):
+    """FULL two-stage StoRM inference parity: denoiser pass + conditioned
+    reverse-diffusion PC sampling (the reference `enhance` defaults, N=12,
+    corrector none) matches sgmse's host-loop sampler step for step when
+    fed the same noise stream (prior + one z per predictor step)."""
+    import sgmse.data_module as ref_dm_mod
+
+    from storm_tpu.models.base import normalize_wav, prepare_spec
+    from storm_tpu.signal import cplx
+
+    m = ref_model_mod.StochasticRegenerationModel(
+        backbone_denoiser="ncsnpp", backbone_score="ncsnpp", sde="ouve",
+        data_module_cls=ref_dm_mod.SpecsDataModule,
+        loss_type_denoiser="mse", loss_type_score="mse", condition="both",
+        **_TINY_KW,
+    )
+    m.eval(no_ema=True)
+    my = MyStoRM.create(
+        backbone_denoiser="ncsnpp", backbone_score="ncsnpp", sde="ouve",
+        condition="both", **_TINY_KW,
+    )
+    sd = m.state_dict()
+    params = jax.tree.map(jnp.asarray, {
+        "denoiser": convert_backbone_state_dict(sd, prefix="denoiser_net."),
+        "score": convert_backbone_state_dict(sd, prefix="score_net."),
+    })
+
+    rng = np.random.default_rng(1)
+    T_wav = 6000
+    y_np = (0.3 * np.sin(2 * np.pi * 250 * np.arange(T_wav) / 16000)
+            + 0.05 * rng.standard_normal(T_wav)).astype(np.float32)
+    N = 12
+    key = jax.random.PRNGKey(7)
+
+    enh = my.make_enhance(sampler_type="pc", N=N, corrector="none")
+    x_mine = np.asarray(enh(params, jnp.asarray(y_np)[None], key)[0])[0]
+
+    # replay my sampler's key schedule to precompute its noise stream:
+    # pc_sample: key,kprior = split(key); scan carry k: k,kc,kp = split(k,3)
+    y_n, _ = normalize_wav(jnp.asarray(y_np)[None])
+    Y, _tf = prepare_spec(y_n, my.stft_config, my.transform)
+    spec_shape = Y.shape[:-1]
+    k2, kprior = jax.random.split(key)
+    noises = [np.asarray(cplx.complex_normal(kprior, spec_shape))]
+    k = k2
+    for _ in range(N):
+        k, _kc, kp = jax.random.split(k, 3)
+        noises.append(np.asarray(cplx.complex_normal(kp, spec_shape)))
+    queue = [
+        torch.complex(torch.from_numpy(z[..., 0].copy()),
+                      torch.from_numpy(z[..., 1].copy()))
+        for z in noises
+    ]
+
+    orig_cuda, orig_rl = torch.Tensor.cuda, torch.randn_like
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.randn_like = lambda *a, **k: queue.pop(0).clone()
+    try:
+        with torch.no_grad():
+            x_ref = np.squeeze(np.asarray(m.enhance(
+                torch.from_numpy(y_np.copy())[None], sampler_type="pc",
+                predictor="reverse_diffusion", corrector="none", N=N,
+            )))
+    finally:
+        torch.Tensor.cuda, torch.randn_like = orig_cuda, orig_rl
+    assert not queue, f"{len(queue)} unused noises — step counts diverged"
+
+    assert x_mine.shape == x_ref.shape == (T_wav,)
+    np.testing.assert_allclose(
+        x_mine, x_ref, atol=2e-4 * np.abs(x_ref).max()
     )
 
 

@@ -313,10 +313,15 @@ def test_ref_storm_step_loss(ref_model_mod):
     )
 
 
-def test_ref_score_step_loss(ref_model_mod):
+@pytest.mark.parametrize("sde_name,sde_kw", [
+    ("ouve", {}),
+    ("ouvp", dict(beta_min=0.1, beta_max=1.0, stiffness=1.0)),
+])
+def test_ref_score_step_loss(ref_model_mod, sde_name, sde_kw):
+    kw = dict(_TINY_KW, **sde_kw)
     m = ref_model_mod.ScoreModel(
-        backbone="ncsnpp", sde="ouve", data_module_cls=_DummyDM,
-        loss_type="mse", **_TINY_KW,
+        backbone="ncsnpp", sde=sde_name, data_module_cls=_DummyDM,
+        loss_type="mse", **kw,
     )
     m.eval(no_ema=True)
     x, y, u, z = _fixed_batch()
@@ -324,8 +329,8 @@ def test_ref_score_step_loss(ref_model_mod):
         loss_t = m._step((x, y), 0)
 
     params = convert_backbone_state_dict(m.state_dict(), prefix="dnn.")
-    my = MyScore.create(backbone="ncsnpp", sde="ouve", loss_type="mse",
-                        **_TINY_KW)
+    my = MyScore.create(backbone="ncsnpp", sde=sde_name, loss_type="mse",
+                        **kw)
     t_used = jnp.asarray((u * (1.0 - 0.03) + 0.03).numpy())
     batch = (_pack(x)[:, 0], _pack(y)[:, 0])
     loss_j, _ = my.loss_given_tz(

@@ -34,13 +34,14 @@ def corpus(tmp_path_factory):
     return str(root)
 
 
-def _run_train(corpus, log_dir, extra, timeout=1200):
+def _run_train(corpus, log_dir, extra, timeout=1200,
+               mode="regen-joint-training"):
     env = dict(os.environ)
     env["STORM_TPU_PLATFORM"] = "cpu"
     env["XLA_FLAGS"] = ""  # single CPU device
     cmd = [
         sys.executable, os.path.join(REPO, "train.py"),
-        "--mode", "regen-joint-training", "--base_dir", corpus,
+        "--mode", mode, "--base_dir", corpus,
         "--format", "wsj0", "--batch_size", "2", "--num_frames", "32",
         "--nf", "8", "--ch_mult", "1,1", "--num_workers", "2",
         "--num_eval_files", "2", "--eval_N", "2",
@@ -105,6 +106,25 @@ def test_train_smoke_and_resume(corpus, tmp_path):
     assert isinstance(meta2["bad_epochs"], int)
     if meta2["best_valid"] == best_valid_1:  # no improvement case
         assert meta2["bad_epochs"] >= bad_epochs_1
+
+
+def test_train_cli_score_only_smoke(corpus, tmp_path):
+    out = _run_train(corpus, tmp_path / "logs_s",
+                     ["--max_epochs", "1", "--max_steps", "3",
+                      "--num_eval_files", "0"],
+                     mode="score-only")
+    assert "epoch 0:" in out
+
+
+def test_train_cli_denoiser_convtasnet_smoke(corpus, tmp_path):
+    """denoiser-only with a time-domain backbone: exercises the
+    FORCE_STFT_OUT loss path through the CLI (sgmse/model.py:322-331)."""
+    out = _run_train(corpus, tmp_path / "logs_d",
+                     ["--max_epochs", "1", "--max_steps", "3",
+                      "--num_eval_files", "0",
+                      "--backbone_denoiser", "convtasnet"],
+                     mode="denoiser-only")
+    assert "epoch 0:" in out
 
 
 def test_loader_epoch_determinism():

@@ -134,6 +134,23 @@ def main():
             _ = np.asarray(x_hat)
             times.append(time.perf_counter() - t0)
 
+    # also measure the model's own default serving schedule (N=30, no
+    # corrector, NFE=31 — sgmse/model.py:720-721), which matches the
+    # NFE=101 config in quality on a converged model (BASELINE.md) — the
+    # quality-parity serving number, reported in `detail`
+    nfe31 = None
+    if not args.train and args.N == 50 and args.corrector == "ald":
+        enhance31 = model.make_enhance(num_samples, N=30, corrector="none")
+        x_hat, _ = enhance31(params, y, jax.random.PRNGKey(99))
+        _ = np.asarray(x_hat)
+        t31 = []
+        for i in range(args.reps):
+            t0 = time.perf_counter()
+            x_hat, _ = enhance31(params, y, jax.random.PRNGKey(100 + i))
+            _ = np.asarray(x_hat)
+            t31.append(time.perf_counter() - t0)
+        nfe31 = round(audio_sec / min(t31), 2)
+
     wall = min(times)
     value = audio_sec / wall  # audio-sec per second per chip
     target = 10.0  # north-star: >=10x real-time per chip
@@ -151,6 +168,7 @@ def main():
             "rtf_inv": round(value / args.batch, 2),
             "dtype": args.dtype,
             "backend": jax.default_backend(),
+            "storm_default_nfe31_audio_sec_per_sec": nfe31,
         },
     }))
 

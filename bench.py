@@ -46,6 +46,8 @@ def main():
                     "standard TPU runtimes")
     ap.add_argument("--nf", type=int, default=None,
                     help="override backbone width (default: full 27.8M)")
+    ap.add_argument("--quant", default=None, choices=[None, "int8"],
+                    help="serve with W8A8 int8 convs (PTQ, models/quant.py)")
     args = ap.parse_args()
 
     from storm_tpu.utils.jaxcache import enable_jax_compilation_cache
@@ -112,11 +114,21 @@ def main():
     )
     key = jax.random.PRNGKey(1)
 
+    quant = None
+    if args.quant == "int8":
+        from storm_tpu.models.quant import calibrate_storm, num_quantized_convs
+        quant = calibrate_storm(model, params, y[:4], jax.random.PRNGKey(7),
+                                N=min(args.N, 10), num_probe=4)
+        nq = {k: num_quantized_convs(v) for k, v in quant.items()}
+        import sys
+        print(f"int8-quantized convs: {nq}", file=sys.stderr)
+
     enhance = model.make_enhance(
         num_samples,
         N=args.N,
         corrector=args.corrector,
         corrector_steps=args.corrector_steps,
+        quant=quant,
     )
 
     # compile + warmup. NOTE: block_until_ready does not reliably block on
@@ -140,7 +152,8 @@ def main():
     # quality-parity serving number, reported in `detail`
     nfe31 = None
     if not args.train and args.N == 50 and args.corrector == "ald":
-        enhance31 = model.make_enhance(num_samples, N=30, corrector="none")
+        enhance31 = model.make_enhance(num_samples, N=30, corrector="none",
+                                       quant=quant)
         x_hat, _ = enhance31(params, y, jax.random.PRNGKey(99))
         _ = np.asarray(x_hat)
         t31 = []
@@ -169,6 +182,7 @@ def main():
             "dtype": args.dtype,
             "backend": jax.default_backend(),
             "storm_default_nfe31_audio_sec_per_sec": nfe31,
+            "quant": args.quant,
         },
     }))
 

@@ -65,6 +65,11 @@ def main():
                         help="shard serving batches over ALL visible "
                         "devices (1-D mesh, batch-split; params replicated) "
                         "— implies batched serving")
+    parser.add_argument("--quant", default=None, choices=("int8",),
+                        help="post-training W8A8 int8 serving: calibrates "
+                        "activation scales on the first files, then runs "
+                        "the large NCSN++ convs on the MXU's int8 path "
+                        "(TPU perf feature, storm_tpu/models/quant.py)")
     args = parser.parse_args()
     if args.data_parallel and args.batch <= 1:
         args.batch = 8
@@ -96,16 +101,6 @@ def main():
     model = build_model(dict(config))
     params = state.params if args.no_ema else state.ema_params
 
-    enhancer = BucketedEnhancer(
-        model, params,
-        minibatch=args.batch if args.batch > 1 else None,
-        data_parallel=args.data_parallel,
-        sampler_type=args.sampler, predictor=args.predictor,
-        corrector=args.corrector, corrector_steps=args.corrector_steps,
-        snr=args.snr, N=args.N, method=args.ode_method, sweeps=args.sweeps,
-    )
-    args.batch = max(args.batch, enhancer.minibatch or 1)
-
     noisy_files = sorted(glob.glob(os.path.join(args.test_dir, "*.wav")))
     if not noisy_files:
         raise SystemExit(f"no .wav files in {args.test_dir}")
@@ -128,6 +123,42 @@ def main():
                 )
             return y[:spatial_channels]  # (D, T)
         return y[0]
+
+    quant = None
+    if args.quant == "int8":
+        # calibrate activation scales once on the first files; the scales
+        # are per-conv scalars, shared by every compile bucket
+        from storm_tpu.models import quant as quant_mod
+
+        calib = [load_checked(f) for f in noisy_files[:4]]
+        L = max(y.shape[-1] for y in calib)
+        L = -(-L // (64 * model.stft_config.hop_length)) * (
+            64 * model.stft_config.hop_length)
+        y_cal = np.stack([
+            np.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, L - y.shape[-1])])
+            for y in calib
+        ]).astype(np.float32)
+        key, kcal = jax.random.split(key)
+        if args.mode == "storm":
+            quant = quant_mod.calibrate_storm(
+                model, params, y_cal, kcal, N=min(args.N, 10))
+        elif args.mode == "score-only":
+            quant = quant_mod.calibrate_score_model(
+                model, params, y_cal, kcal, N=min(args.N, 10))
+        else:
+            quant = quant_mod.calibrate_discriminative(model, params, y_cal)
+        print("int8 calibration done")
+
+    enhancer = BucketedEnhancer(
+        model, params,
+        minibatch=args.batch if args.batch > 1 else None,
+        data_parallel=args.data_parallel,
+        sampler_type=args.sampler, predictor=args.predictor,
+        corrector=args.corrector, corrector_steps=args.corrector_steps,
+        snr=args.snr, N=args.N, method=args.ode_method, sweeps=args.sweeps,
+        quant=quant,
+    )
+    args.batch = max(args.batch, enhancer.minibatch or 1)
 
     if args.batch <= 1:
         for f in noisy_files:

@@ -95,23 +95,36 @@ class DiscriminativeModel:
             self.init_params(key, spec_shape), make_optimizer(self.lr)
         )
 
-    def apply(self, params, Y, train: bool = False, rng=None):
+    def apply(self, params, Y, train: bool = False, rng=None,
+              quant=None, collect_stats: bool = False):
         """x_hat = dnn(y, t=1) (sgmse/model.py:322-327). Y: (B, F, T, 2) for
         spec backbones; for FORCE_STFT_OUT backbones Y is converted to time
-        and the TIME-domain estimate is returned (sgmse/model.py:322-327)."""
+        and the TIME-domain estimate is returned (sgmse/model.py:322-327).
+
+        `quant`: optional int8 activation-scale tree (models/quant.py);
+        `collect_stats=True` additionally returns the calibration amax
+        tree."""
         t = jnp.ones((Y.shape[0],), jnp.float32)
         rngs = {"dropout": rng} if (train and rng is not None) else None
         if self.force_stft_out:
             length = (Y.shape[-2] - 1) * self.stft_config.hop_length
             y_time = spec_to_wav(Y, self.stft_config, self.transform,
                                  length=length)
-            return self.dnn.apply(
+            out = self.dnn.apply(
                 {"params": params}, y_time, t, train=train, rngs=rngs
             )
+            return (out, {}) if collect_stats else out
         Y5, squeezed = lift_spec(Y)
-        out = self.dnn.apply(
-            {"params": params}, Y5, t, train=train, rngs=rngs
-        )
+        variables = {"params": params}
+        if quant is not None:
+            variables["quant"] = quant
+        if collect_stats:
+            out, st = self.dnn.apply(
+                variables, Y5, t, train=train, rngs=rngs,
+                mutable=["quant_stats"],
+            )
+            return (out[:, 0] if squeezed else out), st["quant_stats"]
+        out = self.dnn.apply(variables, Y5, t, train=train, rngs=rngs)
         return out[:, 0] if squeezed else out
 
     batch_reduction = "mean"
@@ -163,8 +176,10 @@ class DiscriminativeModel:
 
         return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
-    def make_enhance(self, num_samples: int = 0, **ignored_kwargs):
-        """Single-pass enhancement (sgmse/model.py:345-363), jitted."""
+    def make_enhance(self, num_samples: int = 0, quant=None, **ignored_kwargs):
+        """Single-pass enhancement (sgmse/model.py:345-363), jitted.
+
+        `quant`: optional int8 activation-scale tree (models/quant.py)."""
         del num_samples
 
         @jax.jit
@@ -179,7 +194,7 @@ class DiscriminativeModel:
                 x_hat = self.dnn.apply({"params": params}, y_n, t)
                 return x_hat[..., :T_orig] * norm, 1
             Y, _t_frames = prepare_spec(y_n, self.stft_config, self.transform)
-            X_hat = self.apply(params, Y)
+            X_hat = self.apply(params, Y, quant=quant)
             # full padded spec -> iSTFT(length=T_orig), reference behavior
             # (sgmse/model.py:362-363); see ScoreModel.make_enhance
             x_hat = spec_to_wav(

@@ -93,19 +93,32 @@ class ScoreModel:
 
     # --- forward ----------------------------------------------------------
 
-    def score_apply(self, params, x, t, y, train: bool = False, rng=None):
+    def score_apply(
+        self, params, x, t, y, train: bool = False, rng=None,
+        quant=None, collect_stats: bool = False,
+    ):
         """score = -dnn(cat[x, y], t) (sgmse/model.py:130-136).
 
         x, y: (B, F, T, 2) or multichannel (B, D, F, T, 2) packed-real
         compressed specs; output has x's shape.
-        """
+
+        `quant`: optional int8 activation-scale tree (models/quant.py);
+        `collect_stats=True` additionally returns the calibration amax
+        tree."""
         x5, squeezed = lift_spec(x)
         y5, _ = lift_spec(y)
         dnn_input = jnp.concatenate([x5, y5], axis=1)  # (B, 2D, F, T, 2)
         rngs = {"dropout": rng} if (train and rng is not None) else None
-        out = self.dnn.apply(
-            {"params": params}, dnn_input, t, train=train, rngs=rngs
-        )
+        variables = {"params": params}
+        if quant is not None:
+            variables["quant"] = quant
+        if collect_stats:
+            out, st = self.dnn.apply(
+                variables, dnn_input, t, train=train, rngs=rngs,
+                mutable=["quant_stats"],
+            )
+            return -(out[:, 0] if squeezed else out), st["quant_stats"]
+        out = self.dnn.apply(variables, dnn_input, t, train=train, rngs=rngs)
         return -(out[:, 0] if squeezed else out)
 
     # --- loss / training --------------------------------------------------
@@ -207,6 +220,7 @@ class ScoreModel:
         corrector_steps: int = 1,
         snr: float = 0.5,
         probability_flow: bool = False,
+        quant=None,
         **kwargs,
     ):
         """Build a jitted enhancement program for a fixed utterance length.
@@ -214,6 +228,9 @@ class ScoreModel:
         Equivalent of `ScoreModel.enhance` (sgmse/model.py:273-310) but fully
         on device: normalize -> STFT -> compress -> pad -> scan-sampler ->
         decompress -> iSTFT -> denormalize, one compiled executable.
+
+        `quant`: optional int8 activation-scale tree from
+        `models.quant.calibrate_score_model` (serving-only TPU perf feature).
 
         Returns `enhance(params, y, key) -> (x_hat, nfe)` for y (B, T).
         """
@@ -226,7 +243,7 @@ class ScoreModel:
             Y, t_frames = prepare_spec(y_n, self.stft_config, self.transform)
 
             def score_fn(x, t, y_sde):
-                return self.score_apply(params, x, t, y_sde)
+                return self.score_apply(params, x, t, y_sde, quant=quant)
 
             if sampler_type == "pc":
                 sample, nfe = pc_sample(

@@ -151,7 +151,10 @@ class StochasticRegenerationModel:
 
     # --- forward ----------------------------------------------------------
 
-    def forward_denoiser(self, params, Y, train: bool = False, rng=None):
+    def forward_denoiser(
+        self, params, Y, train: bool = False, rng=None,
+        quant=None, collect_stats: bool = False,
+    ):
         """D(y) (sgmse/model.py:556-558). Y: (B, F, T, 2) or multichannel
         (B, D, F, T, 2); output has the input's shape.
 
@@ -159,7 +162,11 @@ class StochasticRegenerationModel:
         so the SDE input/conditioning stay spectral. (The reference's StoRM
         class passes the spec straight into such backbones, which cannot
         work — sgmse/model.py:556-558 never checks FORCE_STFT_OUT; fixed
-        here.)"""
+        here.)
+
+        `quant`: optional int8 activation-scale tree for the serving path
+        (models/quant.py); `collect_stats=True` additionally returns the
+        calibration amax tree."""
         if getattr(self.denoiser_net, "FORCE_STFT_OUT", False):
             from .base import time_domain_denoise
 
@@ -167,16 +174,25 @@ class StochasticRegenerationModel:
                 raise NotImplementedError(
                     "time-domain denoisers support spatial_channels=1 only"
                 )
-            return time_domain_denoise(
+            out = time_domain_denoise(
                 self.denoiser_net, params["denoiser"], Y,
                 self.stft_config, self.transform,
             )
+            return (out, {}) if collect_stats else out
         Y5, squeezed = lift_spec(Y)
         t = jnp.ones((Y5.shape[0],), jnp.float32)
         rngs = {"dropout": rng} if (train and rng is not None) else None
-        out = self.denoiser_net.apply(
-            {"params": params["denoiser"]}, Y5, t, train=train, rngs=rngs
-        )
+        variables = {"params": params["denoiser"]}
+        if quant is not None:
+            variables["quant"] = quant
+        if collect_stats:
+            out, st = self.denoiser_net.apply(
+                variables, Y5, t, train=train, rngs=rngs,
+                mutable=["quant_stats"],
+            )
+            out = out[:, 0] if squeezed else out
+            return out, st["quant_stats"]
+        out = self.denoiser_net.apply(variables, Y5, t, train=train, rngs=rngs)
         return out[:, 0] if squeezed else out
 
     def _conditioning(self, Y, Y_denoised):
@@ -191,20 +207,32 @@ class StochasticRegenerationModel:
         )
 
     def forward_score(
-        self, params, x, t, score_conditioning, train: bool = False, rng=None
+        self, params, x, t, score_conditioning, train: bool = False, rng=None,
+        quant=None, collect_stats: bool = False,
     ):
         """score = -score_net(cat[x, *cond], t) (sgmse/model.py:548-554).
 
         x and each conditioning spec: (B, F, T, 2) or (B, D, F, T, 2);
         multichannel inputs concatenate as [x_1..x_D, c1_1..c1_D, ...] along
-        the complex-channel axis. Output has x's shape."""
+        the complex-channel axis. Output has x's shape.
+
+        `quant`: optional int8 activation-scale tree (models/quant.py);
+        `collect_stats=True` additionally returns the calibration amax
+        tree."""
         x5, squeezed = lift_spec(x)
         cond5 = [lift_spec(c)[0] for c in score_conditioning]
         dnn_input = jnp.concatenate([x5] + cond5, axis=1)
         rngs = {"dropout": rng} if (train and rng is not None) else None
-        out = self.score_net.apply(
-            {"params": params["score"]}, dnn_input, t, train=train, rngs=rngs
-        )
+        variables = {"params": params["score"]}
+        if quant is not None:
+            variables["quant"] = quant
+        if collect_stats:
+            out, st = self.score_net.apply(
+                variables, dnn_input, t, train=train, rngs=rngs,
+                mutable=["quant_stats"],
+            )
+            return -(out[:, 0] if squeezed else out), st["quant_stats"]
+        out = self.score_net.apply(variables, dnn_input, t, train=train, rngs=rngs)
         return -(out[:, 0] if squeezed else out)
 
     # --- loss / training --------------------------------------------------
@@ -359,6 +387,7 @@ class StochasticRegenerationModel:
         snr: float = 0.5,
         probability_flow: bool = False,
         denoiser_only: bool = False,
+        quant=None,
         **kwargs,
     ):
         """Jitted one-call enhancement (sgmse/model.py:720-780).
@@ -366,9 +395,15 @@ class StochasticRegenerationModel:
         Defaults mirror the reference's StoRM `enhance`: N=30 reverse steps,
         reverse-diffusion predictor, no corrector.
 
+        `quant`: optional {"denoiser": tree|None, "score": tree|None} int8
+        activation scales from `models.quant.calibrate_storm` — runs the
+        large convs as int8 on the MXU (serving-only, TPU perf feature).
+
         Returns `enhance(params, y, key) -> (x_hat, nfe)` for y (B, T).
         """
         del num_samples
+        q_den = (quant or {}).get("denoiser")
+        q_score = (quant or {}).get("score")
 
         @jax.jit
         def enhance(params, y, key):
@@ -378,7 +413,7 @@ class StochasticRegenerationModel:
 
             nfe = 0
             if self.denoiser_net is not None:
-                Y_denoised = self.forward_denoiser(params, Y)
+                Y_denoised = self.forward_denoiser(params, Y, quant=q_den)
                 nfe += 1
             else:
                 Y_denoised = None
@@ -388,7 +423,7 @@ class StochasticRegenerationModel:
 
                 def score_fn(x, t, y_sde):
                     del y_sde  # conditioning closed over, like the reference
-                    return self.forward_score(params, x, t, cond)
+                    return self.forward_score(params, x, t, cond, quant=q_score)
 
                 if sampler_type == "pc":
                     sample, n = pc_sample(

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .init import ddpm_init
+from .qconv import QuantizableConv
 from .resample import (
     downsample_2d,
     naive_downsample_2d,
@@ -75,9 +76,12 @@ def conv3x3(
     stride: int = 1,
     dtype=jnp.float32,
     name: Optional[str] = None,
-) -> fnn.Conv:
-    """3x3 conv with DDPM init (ncsnpp_utils/layers.py:129-135)."""
-    return fnn.Conv(
+) -> QuantizableConv:
+    """3x3 conv with DDPM init (ncsnpp_utils/layers.py:129-135).
+
+    Built as a `QuantizableConv` (bit-identical to fnn.Conv by default) so
+    serving can opt into int8 via the "quant" collection (nn/qconv.py)."""
+    return QuantizableConv(
         out_ch,
         (3, 3),
         strides=(stride, stride),
@@ -97,9 +101,9 @@ def conv1x1(
     bias: bool = True,
     dtype=jnp.float32,
     name: Optional[str] = None,
-) -> fnn.Conv:
+) -> QuantizableConv:
     """1x1 conv with DDPM init (ncsnpp_utils/layers.py:100-106)."""
-    return fnn.Conv(
+    return QuantizableConv(
         out_ch,
         (1, 1),
         use_bias=bias,

@@ -81,7 +81,9 @@ def main():
             jax.random.normal(kx, spec_shape + (2,)) * 0.1,
             jax.random.normal(ky, spec_shape + (2,)) * 0.1,
         )
-        step = model.make_train_step(donate=False)
+        # donation matches the production train loop (train.py) — previous
+        # step's params/opt-state buffers are reused in place
+        step = model.make_train_step(donate=True)
         state, aux = step(state, batch, jax.random.PRNGKey(2))
         _ = float(aux["loss"])
         times = []

@@ -70,6 +70,13 @@ def main():
                         "activation scales on the first files, then runs "
                         "the large NCSN++ convs on the MXU's int8 path "
                         "(TPU perf feature, storm_tpu/models/quant.py)")
+    parser.add_argument("--stream_chunk_s", type=float, default=0.0,
+                        help="long-form streaming mode: enhance in fixed "
+                        "chunks of this many seconds (crossfaded, fixed "
+                        "device memory; storm_tpu/utils/streaming.py). "
+                        "0 = whole-utterance (reference behavior)")
+    parser.add_argument("--stream_overlap_s", type=float, default=0.5,
+                        help="crossfaded overlap between streaming chunks")
     args = parser.parse_args()
     if args.data_parallel and args.batch <= 1:
         args.batch = 8
@@ -159,6 +166,33 @@ def main():
         quant=quant,
     )
     args.batch = max(args.batch, enhancer.minibatch or 1)
+
+    if args.stream_chunk_s > 0:
+        # fixed-memory long-form path: every file is enhanced in crossfaded
+        # fixed-length chunks; all files share ONE compiled shape
+        from storm_tpu.utils.streaming import stream_enhance
+
+        if enhancer.minibatch is None:
+            enhancer.minibatch = 8
+        for f in noisy_files:
+            y = load_checked(f)
+            key, k = jax.random.split(key)
+            t0 = time.perf_counter()
+            x_hat, nfe = stream_enhance(
+                enhancer, y, k,
+                chunk_samples=int(args.stream_chunk_s * model_sr),
+                overlap_samples=int(args.stream_overlap_s * model_sr),
+                max_batch=enhancer.minibatch,
+            )
+            elapsed = time.perf_counter() - t0
+            out = os.path.join(args.enhanced_dir, os.path.basename(f))
+            save_wav(out, x_hat, model_sr)
+            if args.timeit:
+                rtf = elapsed / (x_hat.shape[-1] / model_sr)
+                print(f"{os.path.basename(f)}: nfe={nfe} rtf={rtf:.4f}")
+            else:
+                print(os.path.basename(f))
+        return
 
     if args.batch <= 1:
         for f in noisy_files:

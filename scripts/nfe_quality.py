@@ -54,6 +54,12 @@ def main():
                     "compiles, more padding)")
     ap.add_argument("--json", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--quant", default=None, choices=("int8",),
+                    help="run every config with W8A8 int8 serving "
+                    "(models/quant.py) — for bf16-vs-int8 quality deltas")
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated substrings: only run configs "
+                    "whose name matches one (e.g. 'pc N=30,pc N=50 ald')")
     args = ap.parse_args()
 
     import jax
@@ -86,10 +92,40 @@ def main():
     print(f"{n} test files; noisy: SI-SDR {noisy_sisdr:.2f} dB, "
           f"ESTOI {noisy_estoi:.3f}")
 
+    quant = None
+    if args.quant == "int8":
+        from storm_tpu.models import quant as quant_mod
+
+        hop = model.stft_config.hop_length
+        L = max(len(y) for y in ys[:4])
+        L = -(-L // (64 * hop)) * (64 * hop)
+        y_cal = np.stack(
+            [np.pad(y, (0, L - len(y))) for y in ys[:4]]
+        ).astype(np.float32)
+        kcal = jax.random.PRNGKey(args.seed + 1)
+        mode = dict(config).get("mode", "regen-joint-training")
+        if mode.startswith("regen"):
+            quant = quant_mod.calibrate_storm(model, params, y_cal, kcal, N=10)
+        elif mode == "score-only":
+            quant = quant_mod.calibrate_score_model(
+                model, params, y_cal, kcal, N=10)
+        else:
+            quant = quant_mod.calibrate_discriminative(model, params, y_cal)
+        print("int8 calibration done")
+
+    configs = CONFIGS
+    if args.configs:
+        pats = [p.strip() for p in args.configs.split(",")]
+        configs = [(nm, kw) for nm, kw in CONFIGS
+                   if any(p in nm for p in pats)]
+
     results = []
-    for name, kw in CONFIGS:
+    for name, kw in configs:
+        if quant is not None:
+            name = name + " +int8"
         enhancer = BucketedEnhancer(model, params, minibatch=args.batch,
-                                    bucket_frames=args.bucket_frames, **kw)
+                                    bucket_frames=args.bucket_frames,
+                                    quant=quant, **kw)
         key = jax.random.PRNGKey(args.seed)
         # bucket-grouped batched enhancement
         groups = {}

@@ -1,0 +1,78 @@
+"""enhancement.py CLI end-to-end smoke (reference enhancement.py:25-72),
+including the TPU-only serving extensions: batched serving, sampler
+selection, and --quant int8 PTQ serving."""
+import glob
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def noisy_dir(tmp_path_factory):
+    from storm_tpu.data.audio import save_wav
+
+    root = tmp_path_factory.mktemp("noisy")
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        n = int(rng.integers(6000, 12000))
+        x = 0.3 * np.sin(2 * np.pi * 300 * np.arange(n) / 16000)
+        save_wav(root / f"u{i}.wav", x + 0.05 * rng.standard_normal(n))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    import jax
+
+    from storm_tpu.ckpt import save_checkpoint
+    from storm_tpu.models.factory import build_model
+
+    out = tmp_path_factory.mktemp("ckpt") / "ckpt"
+    config = {"mode": "regen-joint-training", "nf": 8, "ch_mult": [1, 1],
+              "image_size": 64, "sde": "ouve"}
+    model = build_model(dict(config))
+    state = model.init_state(jax.random.PRNGKey(0), (1, 256, 64))
+    save_checkpoint(str(out), state, config)
+    return str(out)
+
+
+def _run(args, timeout=900):
+    env = dict(os.environ)
+    env["STORM_TPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "enhancement.py")] + args,
+        capture_output=True, text=True, timeout=timeout, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-4000:] + out.stdout[-1000:]
+    return out.stdout
+
+
+def _check_outputs(noisy_dir, out_dir):
+    from storm_tpu.data.audio import load_wav
+
+    for f in glob.glob(os.path.join(noisy_dir, "*.wav")):
+        enh = os.path.join(out_dir, os.path.basename(f))
+        assert os.path.exists(enh), enh
+        y, sr = load_wav(f)
+        x, _ = load_wav(enh)
+        assert sr == 16000
+        assert x.shape[-1] == y.shape[-1]
+        assert np.isfinite(x).all()
+
+
+def test_enhancement_cli_quant_int8(noisy_dir, tiny_ckpt, tmp_path):
+    out_dir = str(tmp_path / "enh_q")
+    out = _run([
+        "--test_dir", noisy_dir, "--enhanced_dir", out_dir,
+        "--ckpt", tiny_ckpt, "--mode", "storm",
+        "--N", "2", "--corrector", "none", "--batch", "2",
+        "--quant", "int8",
+    ])
+    assert "int8 calibration done" in out
+    _check_outputs(noisy_dir, out_dir)

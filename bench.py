@@ -3,7 +3,9 @@
 Primary metric (BASELINE.md): audio-seconds enhanced per wall-clock second
 per chip at 50-step PC sampling with the reference CLI defaults
 (reverse-diffusion predictor + 1 ald corrector step -> NFE=101 NCSN++
-forwards per utterance, enhancement.py:33-36).
+forwards per utterance, enhancement.py:33-36). Serving runs the production
+configuration: W8A8 int8 PTQ convs (quality-neutral, BASELINE.md "int8
+quality parity"); `--quant none` measures bf16 serving.
 
 `vs_baseline` is the ratio against the driver's north-star target of
 10x real-time per chip (BASELINE.json).
@@ -46,8 +48,10 @@ def main():
                     "standard TPU runtimes")
     ap.add_argument("--nf", type=int, default=None,
                     help="override backbone width (default: full 27.8M)")
-    ap.add_argument("--quant", default=None, choices=[None, "int8"],
-                    help="serve with W8A8 int8 convs (PTQ, models/quant.py)")
+    ap.add_argument("--quant", default="int8", choices=["none", "int8"],
+                    help="serving quantization (default int8 W8A8 PTQ — "
+                    "quality-neutral on a converged model, see BASELINE.md "
+                    "int8 quality parity table; 'none' = bf16 serving)")
     args = ap.parse_args()
 
     from storm_tpu.utils.jaxcache import enable_jax_compilation_cache

@@ -57,6 +57,11 @@ def main():
     ap.add_argument("--quant", default=None, choices=("int8",),
                     help="run every config with W8A8 int8 serving "
                     "(models/quant.py) — for bf16-vs-int8 quality deltas")
+    ap.add_argument("--quant_min_channels", type=int, default=128,
+                    help="quantize convs with >= this many in/out channels "
+                    "(default 128 = production; lower it for narrow toy "
+                    "models, e.g. 32 for an nf=32 net, or NOTHING gets "
+                    "quantized and the \"int8\" run silently measures bf16)")
     ap.add_argument("--configs", default=None,
                     help="comma-separated substrings: only run configs "
                     "whose name matches one (e.g. 'pc N=30,pc N=50 ald')")
@@ -104,14 +109,25 @@ def main():
         ).astype(np.float32)
         kcal = jax.random.PRNGKey(args.seed + 1)
         mode = dict(config).get("mode", "regen-joint-training")
+        mc = args.quant_min_channels
         if mode.startswith("regen"):
-            quant = quant_mod.calibrate_storm(model, params, y_cal, kcal, N=10)
+            quant = quant_mod.calibrate_storm(model, params, y_cal, kcal,
+                                              N=10, min_channels=mc)
         elif mode == "score-only":
             quant = quant_mod.calibrate_score_model(
-                model, params, y_cal, kcal, N=10)
+                model, params, y_cal, kcal, N=10, min_channels=mc)
         else:
-            quant = quant_mod.calibrate_discriminative(model, params, y_cal)
-        print("int8 calibration done")
+            quant = quant_mod.calibrate_discriminative(model, params, y_cal,
+                                                       min_channels=mc)
+        n_q = sum(quant_mod.num_quantized_convs(v)
+                  for v in (quant.values() if isinstance(quant, dict)
+                            and "denoiser" in quant else [quant]))
+        if n_q == 0:
+            raise SystemExit(
+                f"--quant int8 quantized 0 convs at min_channels={mc}; "
+                "lower --quant_min_channels or the run would silently "
+                "measure bf16")
+        print(f"int8 calibration done ({n_q} convs quantized)")
 
     configs = CONFIGS
     if args.configs:

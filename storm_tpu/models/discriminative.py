@@ -107,9 +107,14 @@ class DiscriminativeModel:
         t = jnp.ones((Y.shape[0],), jnp.float32)
         rngs = {"dropout": rng} if (train and rng is not None) else None
         if self.force_stft_out:
-            length = (Y.shape[-2] - 1) * self.stft_config.hop_length
-            y_time = spec_to_wav(Y, self.stft_config, self.transform,
-                                 length=length)
+            if Y.ndim == 2:
+                # return_time batch: waveforms go straight in
+                # (sgmse/model.py:344-347 with data_module.return_time)
+                y_time = Y
+            else:
+                length = (Y.shape[-2] - 1) * self.stft_config.hop_length
+                y_time = spec_to_wav(Y, self.stft_config, self.transform,
+                                     length=length)
             out = self.dnn.apply(
                 {"params": params}, y_time, t, train=train, rngs=rngs
             )
@@ -134,8 +139,9 @@ class DiscriminativeModel:
         tail batches (every file counts, unlike a skip)."""
         x, y = batch
         x_hat = self.apply(params, y, train=train, rng=key)
-        if self.force_stft_out:
-            # compare in the time domain (sgmse/model.py:329-331)
+        if self.force_stft_out and x.ndim > 2:
+            # spec batch: compare in the time domain (sgmse/model.py:329-331);
+            # a return_time batch (B, T) is already time-domain
             length = (x.shape[-2] - 1) * self.stft_config.hop_length
             x = spec_to_wav(x, self.stft_config, self.transform, length=length)
         B = x.shape[0]

@@ -127,6 +127,34 @@ def test_train_cli_denoiser_convtasnet_smoke(corpus, tmp_path):
     assert "epoch 0:" in out
 
 
+def test_train_cli_return_time_convtasnet(corpus, tmp_path):
+    """--return_time: pure time-domain training (reference
+    data_module.py:116-124 + sgmse/model.py:344-347) — the canonical
+    ConvTasNet + SI-SDR recipe with no STFT round-trip on the loss path."""
+    out = _run_train(corpus, tmp_path / "logs_t",
+                     ["--max_epochs", "1", "--max_steps", "3",
+                      "--num_eval_files", "1", "--return_time",
+                      "--loss_type", "sisdr",
+                      "--backbone_denoiser", "convtasnet"],
+                     mode="denoiser-only")
+    assert "epoch 0:" in out
+
+
+def test_return_time_requires_time_domain_backbone(corpus, tmp_path):
+    env = dict(os.environ)
+    env["STORM_TPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = ""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "train.py"),
+         "--mode", "denoiser-only", "--base_dir", corpus,
+         "--format", "wsj0", "--nf", "8", "--ch_mult", "1,1",
+         "--return_time", "--nolog", "--max_epochs", "1"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert out.returncode != 0
+    assert "return_time" in (out.stderr + out.stdout)
+
+
 def test_loader_epoch_determinism():
     """set_epoch pins the shuffle; identical (seed, epoch) -> identical
     order; successive epochs differ."""

@@ -154,6 +154,18 @@ def main():
             config.pop(k)
     model = build_model(dict(config))
 
+    if args.return_time and (
+        args.mode != "denoiser-only"
+        or not getattr(model.dnn, "FORCE_STFT_OUT", False)
+        or args.spatial_channels != 1
+    ):
+        # checked before any expensive init; see the return_time prepare
+        # path below for semantics
+        raise SystemExit(
+            "--return_time requires --mode denoiser-only with a "
+            "mono time-domain backbone (convtasnet)"
+        )
+
     # --- data ------------------------------------------------------------
     dm = SpecsDataModule(
         base_dir=args.base_dir, format=args.format,
@@ -228,21 +240,25 @@ def main():
     # in place on the hot path (checkpointing does jax.device_get copies)
     train_step = model.make_train_step(donate=True)
     if args.return_time:
-        # the loss pipeline is spectral for every model here; time-domain
-        # backbones (ConvTasNet/ae-ncsnpp) are converted automatically via
-        # FORCE_STFT_OUT inside the model layer, so the reference's
-        # return_time path adds nothing and its raw waveforms would not fit
-        # the spec-shaped losses
-        raise SystemExit(
-            "--return_time is not supported: time-domain backbones are "
-            "handled automatically (FORCE_STFT_OUT); train on specs."
+        # pure time-domain training (reference data_module.py:116-124 +
+        # sgmse/model.py:344-347): the batch stays as waveforms and the
+        # FORCE_STFT_OUT backbone consumes/emits time signals directly —
+        # the canonical ConvTasNet + SI-SDR recipe, with no STFT round-trip
+        # on the loss path. Only meaningful for denoiser-only time-domain
+        # backbones (the reference's score-mode return_time path would feed
+        # waveforms into spectral marginal_prob and is untrained/untested
+        # upstream; see docs/PARITY.md).
+        prepare = jax.jit(
+            lambda b: (b[0].reshape(b[0].shape[0], -1),
+                       b[1].reshape(b[1].shape[0], -1))
         )
-    prepare = jax.jit(
-        lambda b: (
-            wav_to_spec(b[0], model.stft_config, model.transform),
-            wav_to_spec(b[1], model.stft_config, model.transform),
+    else:
+        prepare = jax.jit(
+            lambda b: (
+                wav_to_spec(b[0], model.stft_config, model.transform),
+                wav_to_spec(b[1], model.stft_config, model.transform),
+            )
         )
-    )
     # per-example valid losses so ragged tail batches can be padded + masked
     # (the reference evaluates every file; a skip would bias the early-stop
     # signal by up to batch_size-1 files)

@@ -33,7 +33,12 @@ from jax import lax  # noqa: E402
 
 
 def scan_time(fn, x, iters, reps=3):
-    """Median wall time per iteration of fn inside a lax.scan."""
+    """Median wall time per iteration of fn inside a lax.scan.
+
+    The scan's final carry is reduced to a scalar ON DEVICE before the
+    host sync — over the tunneled backend a device->host pull of a full
+    activation (hundreds of MB at ~100 MB/s) would otherwise dominate
+    the measurement."""
 
     @jax.jit
     def run(x0):
@@ -41,15 +46,14 @@ def scan_time(fn, x, iters, reps=3):
             return fn(c), None
 
         out, _ = lax.scan(body, x0, None, length=iters)
-        return out
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree_util.tree_leaves(out))
 
-    out = run(x)  # compile
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+    _ = np.asarray(run(x))  # compile + sync
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = run(x)
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+        _ = np.asarray(run(x))
         times.append(time.perf_counter() - t0)
     return min(times) / iters
 

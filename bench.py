@@ -85,17 +85,19 @@ def main():
             jax.random.normal(kx, spec_shape + (2,)) * 0.1,
             jax.random.normal(ky, spec_shape + (2,)) * 0.1,
         )
-        # donation matches the production train loop (train.py) — previous
-        # step's params/opt-state buffers are reused in place
-        step = model.make_train_step(donate=True)
-        state, aux = step(state, batch, jax.random.PRNGKey(2))
+        # donation + on-device per-step RNG match the production train loop
+        # (train.py): previous step's params/opt-state buffers are reused in
+        # place and no host key split is dispatched per step
+        step = model.make_train_step(donate=True, fold_step_rng=True)
+        epoch_key = jax.random.PRNGKey(2)
+        state, aux = step(state, batch, epoch_key)
         _ = float(aux["loss"])
         times = []
         with profiled():
             for i in range(args.reps):
                 t0 = time.perf_counter()
                 for _j in range(5):
-                    state, aux = step(state, batch, jax.random.PRNGKey(3 + i))
+                    state, aux = step(state, batch, epoch_key)
                 _ = float(aux["loss"])
                 times.append((time.perf_counter() - t0) / 5)
         wall = min(times)

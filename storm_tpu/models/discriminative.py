@@ -163,10 +163,14 @@ class DiscriminativeModel:
         )
         return loss, {"loss": loss}
 
-    def make_train_step(self, donate: bool = True):
+    def make_train_step(self, donate: bool = True,
+                        fold_step_rng: bool = False):
+        """fold_step_rng: see StochasticRegenerationModel.make_train_step."""
         tx = make_optimizer(self.lr)
 
         def train_step(state: TrainState, batch, key):
+            if fold_step_rng:
+                key = jax.random.fold_in(key, state.step)
             (loss, aux), grads = jax.value_and_grad(
                 self.loss_fn, has_aux=True
             )(state.params, key, batch, True)

@@ -186,11 +186,16 @@ class ScoreModel:
         z = cplx.complex_normal(kz, x.shape[:-1])
         return self.loss_given_tz(params, batch, t, z, train=train, rng=kd)
 
-    def make_train_step(self, donate: bool = True):
-        """One jitted optimizer step incl. EMA (sgmse/model.py:80-83)."""
+    def make_train_step(self, donate: bool = True,
+                        fold_step_rng: bool = False):
+        """One jitted optimizer step incl. EMA (sgmse/model.py:80-83).
+
+        fold_step_rng: see StochasticRegenerationModel.make_train_step."""
         tx = make_optimizer(self.lr)
 
         def train_step(state: TrainState, batch, key):
+            if fold_step_rng:
+                key = jax.random.fold_in(key, state.step)
             (loss, aux), grads = jax.value_and_grad(
                 self.loss_fn, has_aux=True
             )(state.params, key, batch, True)

@@ -55,6 +55,32 @@ def test_score_model_train_and_enhance():
     assert nfe == 3 * 2  # N * (corrector_steps + 1)
 
 
+def test_fold_step_rng_matches_host_fold():
+    """make_train_step(fold_step_rng=True) with a constant epoch key must
+    equal fold_step_rng=False fed key=fold_in(epoch_key, step) — the
+    on-device RNG derivation is a dispatch-count optimization, not a
+    semantic change."""
+    model = ScoreModel.create(backbone="ncsnpp", sde="ouve", **TINY)
+    batch = tiny_batch(jax.random.PRNGKey(1))
+    epoch_key = jax.random.PRNGKey(7)
+
+    state_a = model.init_state(jax.random.PRNGKey(0), SPEC)
+    step_a = model.make_train_step(donate=False, fold_step_rng=True)
+    state_b = model.init_state(jax.random.PRNGKey(0), SPEC)
+    step_b = model.make_train_step(donate=False)
+
+    for _ in range(3):
+        host_key = jax.random.fold_in(epoch_key, state_b.step)
+        state_a, aux_a = step_a(state_a, batch, epoch_key)
+        state_b, aux_b = step_b(state_b, batch, host_key)
+        assert float(aux_a["loss"]) == pytest.approx(
+            float(aux_b["loss"]), rel=0, abs=0)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state_a.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state_b.params)[0]),
+    )
+
+
 def test_discriminative_model():
     model = DiscriminativeModel.create(backbone="ncsnpp", **TINY)
     state = model.init_state(jax.random.PRNGKey(0), SPEC)

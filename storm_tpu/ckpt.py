@@ -15,9 +15,11 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 from typing import Any, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -39,6 +41,28 @@ def save_checkpoint(
     checkpoint written by this function (guards against an --out pointing
     at a working directory)."""
     path = os.path.abspath(path)
+    _check_overwrite_ok(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    state = jax.device_get(state)
+    # write into a sibling tmp dir, then swap — a crash mid-save never
+    # destroys the previous checkpoint
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(tmp, "state"), state)
+    ckptr.wait_until_finished()
+    with open(os.path.join(tmp, "config.json"), "w") as f:
+        json.dump(config, f, indent=2, default=str)
+    if meta is not None:
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def _check_overwrite_ok(path: str):
     if os.path.exists(path):
         looks_like_ckpt = os.path.exists(
             os.path.join(path, "config.json")
@@ -48,17 +72,6 @@ def save_checkpoint(
                 f"refusing to overwrite {path}: exists and is not a "
                 "storm-tpu checkpoint directory"
             )
-        shutil.rmtree(path)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    state = jax.device_get(state)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(path, "state"), state)
-    ckptr.wait_until_finished()
-    with open(os.path.join(path, "config.json"), "w") as f:
-        json.dump(config, f, indent=2, default=str)
-    if meta is not None:
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f, indent=2, default=str)
 
 
 def load_meta(path: str) -> Optional[dict]:
@@ -154,6 +167,13 @@ class CheckpointManager:
                 f"{self.quality_metric} -> {metric}"
             )
 
+        loss_improved = valid_loss is not None and valid_loss < self.best_loss
+        if loss_improved:
+            self.best_loss = float(valid_loss)
+        quality_improved = quality is not None and quality > self.best_quality
+        if quality_improved:
+            self.best_quality = quality
+
         meta = {
             "epoch": epoch,
             "bad_epochs": bad_epochs,
@@ -163,20 +183,82 @@ class CheckpointManager:
             "quality_metric": self.quality_metric,
         }
 
-        if valid_loss is not None and valid_loss < self.best_loss:
-            self.best_loss = float(valid_loss)
-            meta["best_loss"] = self.best_loss
-            save_checkpoint(
-                os.path.join(self.ckpt_dir, "best_loss"), state, self.config,
-                meta=meta,
-            )
-        if quality is not None and quality > self.best_quality:
-            self.best_quality = quality
-            meta["best_quality"] = self.best_quality
-            save_checkpoint(
-                os.path.join(self.ckpt_dir, "best_pesq"), state, self.config,
-                meta=meta,
-            )
-        save_checkpoint(
-            os.path.join(self.ckpt_dir, "last"), state, self.config, meta=meta
-        )
+        # the state is serialized ONCE (into `last`); the best-tag policies
+        # are directory copies — at 4 bytes/param x {params, ema, 2 Adam
+        # moments} a re-serialization per tag would triple the epoch's
+        # checkpoint I/O
+        last = os.path.join(self.ckpt_dir, "last")
+        save_checkpoint(last, state, self.config, meta=meta)
+        if loss_improved:
+            self._copy_tag(last, "best_loss")
+        if quality_improved:
+            self._copy_tag(last, "best_pesq")
+
+    def _copy_tag(self, src: str, tag: str):
+        dst = os.path.join(self.ckpt_dir, tag)
+        _check_overwrite_ok(dst)
+        tmp = dst + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        shutil.copytree(src, tmp)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.rename(tmp, dst)
+
+
+class AsyncCheckpointManager:
+    """Non-blocking wrapper around CheckpointManager.
+
+    `step_async` snapshots the TrainState ON DEVICE (a cheap HBM->HBM
+    copy, dispatched before the next train step can donate those buffers
+    away) and moves the expensive part — device->host transfer (~100 MB/s
+    over a tunneled backend; ~9 s/epoch for the full 2x27.8M model) plus
+    the orbax write — to a background thread, overlapping it with the next
+    training epoch. At most one save is in flight; a second `step_async`
+    first joins the previous one. Call `wait()` before reading the
+    checkpoint or exiting.
+
+    Worker exceptions are re-raised on the next `step_async`/`wait` call —
+    a failed save must not be silently dropped.
+    """
+
+    def __init__(self, mgr: CheckpointManager):
+        self.mgr = mgr
+        self._thread: Optional[threading.Thread] = None
+        self._err: Optional[BaseException] = None
+
+    # expose the policy state (train.py reads these for logging/meta)
+    @property
+    def best_loss(self):
+        return self.mgr.best_loss
+
+    @property
+    def quality_metric(self):
+        return self.mgr.quality_metric
+
+    def restore_from_meta(self, meta: dict):
+        self.mgr.restore_from_meta(meta)
+
+    def step_async(self, state: TrainState, **kwargs):
+        self.wait()
+        # device-side snapshot: enqueued on the stream before any later
+        # donation reuses the buffers, so the background device_get reads
+        # a stable copy
+        snap = jax.tree_util.tree_map(jnp.copy, state)
+
+        def run():
+            try:
+                self.mgr.step(jax.device_get(snap), **kwargs)
+            except BaseException as e:  # noqa: BLE001 - re-raised on wait()
+                self._err = e
+
+        self._thread = threading.Thread(target=run, name="ckpt-save")
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err

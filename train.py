@@ -132,7 +132,8 @@ def main():
 
     from storm_tpu.utils.jaxcache import enable_jax_compilation_cache
     enable_jax_compilation_cache()
-    from storm_tpu.ckpt import CheckpointManager, load_checkpoint, load_meta
+    from storm_tpu.ckpt import (AsyncCheckpointManager, CheckpointManager,
+                                load_checkpoint, load_meta)
     from storm_tpu.data import SpecsDataModule
     from storm_tpu.models import StochasticRegenerationModel, wav_to_spec
     from storm_tpu.models.factory import build_model
@@ -290,7 +291,10 @@ def main():
         except ImportError:
             writer = None
         metrics_file = open(os.path.join(log_dir, "metrics.jsonl"), "a")
-        ckpt_mgr = CheckpointManager(os.path.join(log_dir, "checkpoints"), config)
+        # async: device-side snapshot now, device->host pull + orbax write
+        # overlapped with the next epoch (storm_tpu/ckpt.py)
+        ckpt_mgr = AsyncCheckpointManager(
+            CheckpointManager(os.path.join(log_dir, "checkpoints"), config))
         print(f"logging to {log_dir}")
 
     def log(step, **metrics):
@@ -426,9 +430,9 @@ def main():
             bad_epochs += 1
 
         if ckpt_mgr is not None:
-            ckpt_mgr.step(jax.device_get(state), valid_loss=valid_loss,
-                          pesq=pesq_est, estoi=estoi_est, epoch=epoch,
-                          bad_epochs=bad_epochs, best_valid=best_valid)
+            ckpt_mgr.step_async(state, valid_loss=valid_loss,
+                                pesq=pesq_est, estoi=estoi_est, epoch=epoch,
+                                bad_epochs=bad_epochs, best_valid=best_valid)
 
         if bad_epochs >= args.patience:
             print(f"early stopping at epoch {epoch}")
@@ -436,6 +440,8 @@ def main():
         if args.max_steps and global_step >= args.max_steps:
             break
 
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait()
     if metrics_file is not None:
         metrics_file.close()
     print("training done.")

@@ -119,3 +119,30 @@ def test_stream_enhance_denoiser_only_end_to_end():
     # only exact-zero / blow-up are failures)
     assert float(np.abs(x_stream).max()) > 0
     assert float(np.mean(x_stream**2)) < 1e2
+
+
+def test_stream_enhance_data_parallel_mesh():
+    """Distributed long-form serving: stream_enhance chunks batched through
+    a data_parallel BucketedEnhancer shard over the 8-device CPU mesh —
+    the composition must equal the single-device streaming result exactly
+    (same keys, same chunking; DP only changes WHERE rows compute)."""
+    from storm_tpu.models import DiscriminativeModel
+    from storm_tpu.utils.inference import BucketedEnhancer
+
+    model = DiscriminativeModel.create(backbone="ncsnpp", nf=8)
+    params = model.init_params(jax.random.PRNGKey(0), (1, 256, 64))
+    rng = np.random.default_rng(5)
+    T = 60_000
+    y = (0.2 * np.sin(2 * np.pi * 330 / 16000 * np.arange(T))
+         + 0.05 * rng.standard_normal(T)).astype(np.float32)
+
+    kwargs = dict(chunk_samples=16384, overlap_samples=4096, max_batch=8)
+    single = BucketedEnhancer(model, params, minibatch=8)
+    x_1, _ = stream_enhance(single, y, jax.random.PRNGKey(3), **kwargs)
+
+    dp = BucketedEnhancer(model, params, minibatch=8, data_parallel=True)
+    x_dp, _ = stream_enhance(dp, y, jax.random.PRNGKey(3), **kwargs)
+
+    assert x_dp.shape == y.shape
+    assert np.isfinite(x_dp).all()
+    np.testing.assert_allclose(x_dp, x_1, atol=2e-4)

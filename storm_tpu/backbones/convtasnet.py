@@ -228,6 +228,12 @@ class ConvTasNet(fnn.Module):
         names = {f.name for f in dataclasses.fields(cls) if f.init}
         return cls(**{k: v for k, v in kwargs.items() if k in names})
 
+    @staticmethod
+    def add_argparse_args(parser):
+        """CLI group mirroring the reference (convtasnet.py:51-53)."""
+        parser.add_argument("--causal", action="store_true", default=False)
+        return parser
+
     @property
     def win_samples(self) -> int:
         return int(self.fs * self.win / 1000)

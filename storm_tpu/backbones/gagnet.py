@@ -450,6 +450,41 @@ class GaGNet(fnn.Module):
         names = {f.name for f in dataclasses.fields(cls) if f.init}
         return cls(**{k: v for k, v in kwargs.items() if k in names})
 
+    @staticmethod
+    def add_argparse_args(parser):
+        """CLI group mirroring the reference (gagnet.py:138-163). Tuple
+        args take comma strings ("2,3") — the reference's `type=tuple`
+        spelling is broken (it chars-splits the string); same flag names,
+        working parsers."""
+        def tup(s):
+            return tuple(int(v) for v in str(s).split(","))
+
+        parser.add_argument("--cin", type=int, default=2)
+        parser.add_argument("--dnn_channels", type=int, default=1)
+        parser.add_argument("--fft_num", type=int, default=512)
+        parser.add_argument("--k1", type=tup, default=(2, 3))
+        parser.add_argument("--k2", type=tup, default=(1, 3))
+        parser.add_argument("--c", type=int, default=64)
+        parser.add_argument("--kd1", type=int, default=3)
+        parser.add_argument("--cd1", type=int, default=64)
+        parser.add_argument("--d_feat", type=int, default=448)
+        parser.add_argument("--p", type=int, default=2)
+        parser.add_argument("--q", type=int, default=3)
+        parser.add_argument("--dilas", type=tup, default=(1, 2, 5, 9))
+        parser.add_argument("--is_u2", type=lambda s: s not in
+                            ("False", "false", "0"), default=True)
+        parser.add_argument("--causal", type=lambda s: s in
+                            ("True", "true", "1"), default=False)
+        parser.add_argument("--is_squeezed", type=lambda s: s in
+                            ("True", "true", "1"), default=False)
+        parser.add_argument("--acti_type", type=str, default="sigmoid",
+                            choices=["sigmoid", "tanh", "relu"])
+        parser.add_argument("--intra_connect", type=str, default="cat",
+                            choices=["cat", "add"])
+        parser.add_argument("--norm_type", type=str, default="IN",
+                            choices=["BN", "IN"])
+        return parser
+
     @fnn.compact
     def __call__(self, x, time_cond=None, train: bool = False):
         """x: packed-real (B, D=1, F, T, 2) -> same shape (mask * input)."""

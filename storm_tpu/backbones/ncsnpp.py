@@ -99,6 +99,13 @@ class NCSNpp(fnn.Module):
         names = {f.name for f in dataclasses.fields(cls) if f.init}
         return cls(**{k: v for k, v in kwargs.items() if k in names})
 
+    @staticmethod
+    def add_argparse_args(parser):
+        """No CLI group — the reference's NCSN++ flags are all commented
+        out (ncsnpp.py:276-279); width overrides live on train.py's own
+        --nf/--ch_mult extension flags."""
+        return parser
+
     # --- effective (discriminative-adjusted) config -----------------------
     # The reference mutates ctor args in discriminative mode
     # (ncsnpp.py:80-86); flax fields are frozen so adjust via properties.

@@ -35,7 +35,8 @@ def build_model(config: Dict[str, Any]):
     if "dtype" in cfg and isinstance(cfg["dtype"], str):
         cfg["dtype"] = _DTYPES[cfg["dtype"]]
     # JSON round-trips tuples as lists; backbone fields expect tuples
-    for k in ("ch_mult", "attn_resolutions", "fir_kernel"):
+    for k in ("ch_mult", "attn_resolutions", "fir_kernel", "k1", "k2",
+              "dilas"):
         if k in cfg and isinstance(cfg[k], list):
             cfg[k] = tuple(cfg[k])
     # SDE discretization count: CLI name sde_n -> dataclass field N

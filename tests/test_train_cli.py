@@ -155,6 +155,31 @@ def test_return_time_requires_time_domain_backbone(corpus, tmp_path):
     assert "return_time" in (out.stderr + out.stdout)
 
 
+def test_train_cli_backbone_argparse_group(corpus, tmp_path):
+    """Backbone-contributed flags (reference train.py:58-82 contract):
+    `--backbone_denoiser gagnet` exposes GaGNet's group; values flow into
+    the model AND the checkpoint config for reconstruction."""
+    log_dir = tmp_path / "logs_g"
+    _run_train(corpus, log_dir,
+               ["--max_epochs", "1", "--max_steps", "2",
+                "--num_eval_files", "0",
+                "--backbone_denoiser", "gagnet",
+                "--q", "1", "--p", "1", "--c", "16", "--cd1", "16",
+                "--d_feat", "64", "--k1", "2,3"],
+               mode="denoiser-only")
+    _, run_dir = _read_metrics(log_dir)
+    cfg = json.load(
+        open(os.path.join(run_dir, "checkpoints", "last", "config.json")))
+    assert cfg["q"] == 1 and cfg["p"] == 1 and cfg["c"] == 16
+    assert cfg["d_feat"] == 64
+    assert tuple(cfg["k1"]) == (2, 3)
+    # the saved config rebuilds the exact model
+    from storm_tpu.models.factory import build_model
+
+    model = build_model(dict(cfg))
+    assert model.dnn.q == 1 and model.dnn.c == 16 and model.dnn.k1 == (2, 3)
+
+
 def test_loader_epoch_determinism():
     """set_epoch pins the shuffle; identical (seed, epoch) -> identical
     order; successive epochs differ."""

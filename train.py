@@ -27,7 +27,31 @@ import numpy as np
 
 
 
+class _DedupGroup:
+    """Ignore duplicate option strings when two chosen backbones contribute
+    the same flag (e.g. --causal from both convtasnet and gagnet — the
+    reference would crash on this combination; here the first group wins
+    and the value is applied to both nets)."""
+
+    def __init__(self, group):
+        self._group = group
+
+    def add_argument(self, *a, **kw):
+        try:
+            return self._group.add_argument(*a, **kw)
+        except argparse.ArgumentError:
+            return None
+
+
 def parse_args():
+    # throwaway pre-parse picks the backbones so their argparse groups can
+    # be attached dynamically (reference train.py:29-82 contract: the
+    # chosen classes contribute their own flags)
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--backbone_denoiser", type=str, default="ncsnpp")
+    pre.add_argument("--backbone_score", type=str, default="ncsnpp")
+    pre_args, _ = pre.parse_known_args()
+
     parser = argparse.ArgumentParser()
     # --- top-level (reference train.py:29-48) ---
     parser.add_argument("--mode", required=True, choices=[
@@ -106,7 +130,29 @@ def parse_args():
                         help="enable jax_debug_nans (the reference keeps "
                         "torch detect_anomaly always on, model.py:22 — "
                         "here it is opt-in)")
-    return parser.parse_args()
+
+    # --- dynamic backbone groups (reference train.py:58-82) ---
+    from storm_tpu.backbones import BackboneRegistry
+
+    backbone_keys = []
+    seen = set()
+    for name in (pre_args.backbone_denoiser, pre_args.backbone_score):
+        try:
+            cls = BackboneRegistry.get_by_name(name)
+        except Exception:
+            continue  # the main parser reports the bad name with choices
+        add = getattr(cls, "add_argparse_args", None)
+        if add is None or cls in seen:
+            continue
+        seen.add(cls)
+        before = {a.dest for a in parser._actions}
+        add(_DedupGroup(parser.add_argument_group(f"{name} backbone")))
+        backbone_keys += [a.dest for a in parser._actions
+                          if a.dest not in before]
+
+    args = parser.parse_args()
+    args.backbone_config_keys = backbone_keys
+    return args
 
 
 MODEL_CONFIG_KEYS = [
@@ -143,6 +189,9 @@ def main():
         jax.config.update("jax_debug_nans", True)
 
     config = {k: getattr(args, k) for k in MODEL_CONFIG_KEYS}
+    # flags contributed by the chosen backbones' argparse groups
+    for k in getattr(args, "backbone_config_keys", []):
+        config[k] = getattr(args, k)
     if args.nf is not None:
         config["nf"] = args.nf
     if args.ch_mult is not None:

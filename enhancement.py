@@ -133,28 +133,49 @@ def main():
 
     quant = None
     if args.quant == "int8":
-        # calibrate activation scales once on the first files; the scales
-        # are per-conv scalars, shared by every compile bucket
         from storm_tpu.models import quant as quant_mod
 
-        calib = [load_checked(f) for f in noisy_files[:4]]
-        L = max(y.shape[-1] for y in calib)
-        L = -(-L // (64 * model.stft_config.hop_length)) * (
-            64 * model.stft_config.hop_length)
-        y_cal = np.stack([
-            np.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, L - y.shape[-1])])
-            for y in calib
-        ]).astype(np.float32)
-        key, kcal = jax.random.split(key)
-        if args.mode == "storm":
-            quant = quant_mod.calibrate_storm(
-                model, params, y_cal, kcal, N=min(args.N, 10))
-        elif args.mode == "score-only":
-            quant = quant_mod.calibrate_score_model(
-                model, params, y_cal, kcal, N=min(args.N, 10))
+        # scales are checkpoint artifacts: calibrate once, persist next to
+        # the checkpoint, and reuse on every later serving run
+        def _n_quant(q):
+            if isinstance(q, dict) and ("denoiser" in q or "score" in q):
+                return sum(quant_mod.num_quantized_convs(v)
+                           for v in q.values())
+            return quant_mod.num_quantized_convs(q)
+
+        cache = os.path.join(args.ckpt, "quant_int8_scales.json")
+        if os.path.exists(cache):
+            quant = quant_mod.load_scales(cache)
+            print(f"int8 scales loaded from {cache} "
+                  f"({_n_quant(quant)} convs quantized; 0 means every conv "
+                  "is below the 128-channel threshold and serving is bf16)")
         else:
-            quant = quant_mod.calibrate_discriminative(model, params, y_cal)
-        print("int8 calibration done")
+            # calibrate activation scales on the first files; the scales
+            # are per-conv scalars, shared by every compile bucket
+            calib = [load_checked(f) for f in noisy_files[:4]]
+            L = max(y.shape[-1] for y in calib)
+            L = -(-L // (64 * model.stft_config.hop_length)) * (
+                64 * model.stft_config.hop_length)
+            y_cal = np.stack([
+                np.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, L - y.shape[-1])])
+                for y in calib
+            ]).astype(np.float32)
+            key, kcal = jax.random.split(key)
+            if args.mode == "storm":
+                quant = quant_mod.calibrate_storm(
+                    model, params, y_cal, kcal, N=min(args.N, 10))
+            elif args.mode == "score-only":
+                quant = quant_mod.calibrate_score_model(
+                    model, params, y_cal, kcal, N=min(args.N, 10))
+            else:
+                quant = quant_mod.calibrate_discriminative(
+                    model, params, y_cal)
+            try:
+                quant_mod.save_scales(cache, quant)
+                print(f"int8 calibration done ({_n_quant(quant)} convs "
+                      f"quantized; scales saved to {cache})")
+            except OSError as e:  # read-only checkpoint dir: still serve
+                print(f"int8 calibration done (scales not saved: {e})")
 
     enhancer = BucketedEnhancer(
         model, params,

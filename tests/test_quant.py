@@ -139,3 +139,31 @@ def test_storm_enhance_quant_end_to_end():
     # same program modulo int8 conv noise: close but not identical
     rel = np.abs(xq - xb).max() / (np.abs(xb).max() + 1e-12)
     assert 0 < rel < 0.25
+
+
+def test_scale_tree_save_load_roundtrip(tmp_path):
+    """Scales persist as checkpoint artifacts (enhancement.py caches them
+    next to the checkpoint): save -> load must reproduce the tree."""
+    from storm_tpu.models.quant import load_scales, save_scales
+
+    tree = {
+        "denoiser": {
+            "Down_0": {"Conv_0": {"a_scale": jnp.asarray(0.25, jnp.float32)},
+                       "Conv_1": {"a_scale": jnp.asarray(0.5, jnp.float32)}},
+        },
+        "score": None,
+    }
+    p = tmp_path / "scales.json"
+    save_scales(str(p), tree)
+    back = load_scales(str(p))
+    assert set(back) == {"denoiser"}
+    np.testing.assert_allclose(
+        np.asarray(back["denoiser"]["Down_0"]["Conv_0"]["a_scale"]), 0.25)
+    np.testing.assert_allclose(
+        np.asarray(back["denoiser"]["Down_0"]["Conv_1"]["a_scale"]), 0.5)
+    # .get("score") -> None keeps the bf16 path for the missing net
+    assert (back or {}).get("score") is None
+
+    # empty tree round-trips to None (pure-bf16 serving)
+    save_scales(str(p), None)
+    assert load_scales(str(p)) is None

@@ -177,6 +177,16 @@ def main():
             except OSError as e:  # read-only checkpoint dir: still serve
                 print(f"int8 calibration done (scales not saved: {e})")
 
+    # GaGNet norm_type="BN" running stats (side artifact written by
+    # compat/convert.py) — eval-mode BatchNorm semantics for the denoiser
+    batch_stats = None
+    bn_path = os.path.join(args.ckpt, "gagnet_batch_stats.json")
+    if os.path.exists(bn_path):
+        from storm_tpu.compat.torch_ckpt import load_batch_stats
+
+        batch_stats = load_batch_stats(bn_path)
+        print(f"BatchNorm running stats loaded from {bn_path}")
+
     enhancer = BucketedEnhancer(
         model, params,
         minibatch=args.batch if args.batch > 1 else None,
@@ -184,7 +194,7 @@ def main():
         sampler_type=args.sampler, predictor=args.predictor,
         corrector=args.corrector, corrector_steps=args.corrector_steps,
         snr=args.snr, N=args.N, method=args.ode_method, sweeps=args.sweeps,
-        quant=quant,
+        quant=quant, batch_stats=batch_stats,
     )
     args.batch = max(args.batch, enhancer.minibatch or 1)
 

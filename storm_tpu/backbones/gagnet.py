@@ -11,8 +11,12 @@ causal padding along T); 1-D stages run (B, T, C).
 
 Norm notes: default norm_type="IN" (InstanceNorm, affine, batch-statistics
 — the reference warns its IN is non-causal/batch-stat based,
-gagnet.py:52-56); "BN" here is batch-statistics batch norm without running
-averages (the reference's BN running stats are a documented footgun there).
+gagnet.py:52-56). "BN" trains with batch statistics (no running-average
+updates — the reference's BN running stats are a documented footgun there),
+but EVAL can consume torch running statistics via a "batch_stats"
+collection, so GaGNet-BN checkpoints trained upstream transfer exactly
+(NormSwitch below; compat/torch_ckpt.py convert_gagnet_batch_stats;
+golden-tested vs the actual reference in tests/test_reference_parity.py).
 
 The reference's `padding_necessary` flag is only assigned when F is even
 (gagnet.py:107-110) — a latent NameError for odd F; fixed here.
@@ -42,7 +46,18 @@ class PReLUc(fnn.Module):
 
 
 class NormSwitch(fnn.Module):
-    """IN or BN over channels-last input; stats always from the batch."""
+    """IN or BN over channels-last input.
+
+    Stats come from the batch (training semantics and the default), EXCEPT
+    when a "batch_stats" collection carrying per-channel {mean, var} is
+    supplied to apply() for norm_type="BN" — then those running statistics
+    are used (torch eval-mode BatchNorm semantics). This is how GaGNet
+    checkpoints trained upstream with norm_type="BN" serve here: the
+    converter extracts running_mean/running_var into a side artifact and
+    the eval path passes it as a collection (compat/torch_ckpt.py).
+    Training never updates running stats (documented divergence; the
+    reference itself warns BN is a footgun in this model and defaults IN).
+    """
 
     norm_type: str = "IN"
     eps: float = 1e-5
@@ -52,14 +67,21 @@ class NormSwitch(fnn.Module):
         C = x.shape[-1]
         gain = self.param("scale", fnn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", fnn.initializers.zeros, (C,), jnp.float32)
-        if self.norm_type == "IN":
-            axes = tuple(range(1, x.ndim - 1))  # per-sample spatial dims
-        elif self.norm_type == "BN":
-            axes = tuple(range(0, x.ndim - 1))  # batch + spatial
+        if self.norm_type == "BN" and self.has_variable("batch_stats", "mean"):
+            shape = (1,) * (x.ndim - 1) + (C,)
+            mean = self.get_variable("batch_stats", "mean").reshape(shape)
+            var = self.get_variable("batch_stats", "var").reshape(shape)
+            mean = mean.astype(x.dtype)
+            var = var.astype(x.dtype)
         else:
-            raise ValueError(self.norm_type)
-        mean = jnp.mean(x, axis=axes, keepdims=True)
-        var = jnp.var(x, axis=axes, keepdims=True)
+            if self.norm_type == "IN":
+                axes = tuple(range(1, x.ndim - 1))  # per-sample spatial dims
+            elif self.norm_type == "BN":
+                axes = tuple(range(0, x.ndim - 1))  # batch + spatial
+            else:
+                raise ValueError(self.norm_type)
+            mean = jnp.mean(x, axis=axes, keepdims=True)
+            var = jnp.var(x, axis=axes, keepdims=True)
         x = (x - mean) * jax.lax.rsqrt(var + self.eps)
         return x * gain.astype(x.dtype) + bias.astype(x.dtype)
 

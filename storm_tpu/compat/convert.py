@@ -92,6 +92,28 @@ def main():
     state = init_train_state(params, make_optimizer(config.get("lr", 1e-4)))
     state = state.replace(ema_params=ema)
     save_checkpoint(args.out, state, config)
+
+    # GaGNet norm_type="BN" running statistics ride along as a side
+    # artifact; enhancement.py auto-loads it (NormSwitch eval semantics)
+    import torch
+
+    from .torch_ckpt import convert_gagnet_batch_stats, save_batch_stats
+
+    raw = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+    sd = raw.get("state_dict", raw)
+    # the saved tree is exactly the "batch_stats" collection the (denoiser)
+    # GaGNet consumes — make_enhance(batch_stats=...) in both model classes
+    for prefix in ("dnn.", "denoiser_net."):
+        if not any(k.startswith(prefix) and k.endswith("running_mean")
+                   for k in sd):
+            continue
+        bn = convert_gagnet_batch_stats(sd, prefix=prefix)
+        if bn is not None:
+            import os as _os
+
+            p = _os.path.join(args.out, "gagnet_batch_stats.json")
+            save_batch_stats(p, bn)
+            print(f"BatchNorm running stats saved to {p}")
     n = sum(x.size for x in jax.tree.leaves(params))
     print(f"converted {args.ckpt} -> {args.out} ({n/1e6:.2f}M params, "
           f"mode={config['mode']}); model config: "

@@ -23,7 +23,7 @@ EMA tree by replaying that order.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable, Mapping, Tuple
+from typing import Any, Dict, Iterable, Mapping, Optional, Tuple
 
 import numpy as np
 
@@ -208,14 +208,10 @@ def convert_gagnet_state_dict(
             key = key[len(prefix):]
         if key.split(".")[-1] in ("running_mean", "running_var",
                                   "num_batches_tracked"):
-            # norm_type="BN" checkpoints carry running statistics this
-            # framework's always-batch-stats GaGNet cannot honor (the
-            # reference itself warns BN misbehaves here; default is IN)
-            raise NotImplementedError(
-                "GaGNet checkpoints trained with norm_type='BN' are not "
-                "convertible (running statistics unsupported); retrain "
-                "with the default norm_type='IN'"
-            )
+            # norm_type="BN" running statistics are NOT params — extract
+            # them with convert_gagnet_batch_stats and pass the result as
+            # a "batch_stats" collection at eval (NormSwitch consumes it)
+            continue
         v = _to_np(value)
         p = key.split(".")
         if p[0] == "en":
@@ -328,6 +324,83 @@ def convert_gagnet_state_dict(
     return out
 
 
+def convert_gagnet_batch_stats(
+    sd: Mapping[str, Any], prefix: str = ""
+) -> Optional[Dict[str, Any]]:
+    """Extract torch BatchNorm running statistics from a GaGNet
+    (norm_type="BN") state_dict as a flax "batch_stats" collection tree
+    {module path -> {mean, var}}, or None for norm_type="IN" checkpoints.
+
+    Each `...running_mean`/`...running_var` key shares its module prefix
+    with the norm's `...weight` — the param converter already knows that
+    mapping, so the stats key is routed through it with a proxy `weight`
+    tail and the produced leaf path (ending in "scale") is rewritten to
+    the stats leaf. Eval usage:
+
+        bn = convert_gagnet_batch_stats(ref.state_dict())
+        model.apply({"params": p, "batch_stats": bn}, x, t)
+    """
+    stats: Dict[str, Any] = {}
+    found = False
+    for key, value in sd.items():
+        if prefix:
+            if not key.startswith(prefix):
+                continue
+            key = key[len(prefix):]
+        tail = key.split(".")[-1]
+        if tail not in ("running_mean", "running_var"):
+            continue
+        found = True
+        proxy = convert_gagnet_state_dict(
+            {key[: -len(tail)] + "weight": value}
+        )
+        path = []
+        node = proxy
+        while isinstance(node, dict):
+            (k, node), = node.items()
+            path.append(k)
+        assert path[-1] == "scale", f"unexpected norm mapping for {key}"
+        leaf = "mean" if tail == "running_mean" else "var"
+        _set(stats, tuple(path[:-1]) + (leaf,), _to_np(value))
+    return stats if found else None
+
+
+def save_batch_stats(path: str, stats: Mapping[str, Any]):
+    """Persist a batch_stats collection tree as JSON ({'a/b/mean': [...]})
+    next to a converted checkpoint (side artifact, like the int8 scales)."""
+    import json
+
+    flat: Dict[str, list] = {}
+
+    def rec(node, prefix):
+        for k, v in node.items():
+            p = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, Mapping):
+                rec(v, p)
+            else:
+                flat[p] = np.asarray(v).tolist()
+
+    rec(stats, "")
+    with open(path, "w") as f:
+        json.dump(flat, f)
+
+
+def load_batch_stats(path: str) -> Dict[str, Any]:
+    """Inverse of save_batch_stats."""
+    import json
+
+    with open(path) as f:
+        flat = json.load(f)
+    tree: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(val, np.float32)
+    return tree
+
+
 def _iter_trainable_keys(sd: Mapping[str, Any]) -> Iterable[str]:
     """state_dict keys in order, skipping frozen params (GFP W is
     requires_grad=False in the reference and thus absent from torch-ema's
@@ -339,8 +412,24 @@ def _iter_trainable_keys(sd: Mapping[str, Any]) -> Iterable[str]:
         yield key
 
 
+_BACKBONE_CONVERTERS = {
+    "ncsnpp": "convert_backbone_state_dict",
+    "gagnet": "convert_gagnet_state_dict",
+    "convtasnet": "convert_convtasnet_state_dict",
+}
+
+
+def _backbone_converter(backbone: str):
+    for stem, fn_name in _BACKBONE_CONVERTERS.items():
+        if backbone.replace("-", "").startswith(stem.replace("-", "")) or (
+            stem == "ncsnpp" and "ncsnpp" in backbone
+        ):
+            return globals()[fn_name]
+    raise ValueError(f"no converter for backbone {backbone!r}")
+
+
 def convert_lightning_checkpoint(
-    ckpt: Mapping[str, Any], prefix: str = "dnn."
+    ckpt: Mapping[str, Any], prefix: str = "dnn.", backbone: str = "ncsnpp"
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Convert a full Lightning checkpoint dict into (params, ema_params).
 
@@ -350,9 +439,12 @@ def convert_lightning_checkpoint(
             'shadow_params' positional list).
         prefix: backbone prefix inside the state_dict ('dnn.' for Score/
             Discriminative models; 'denoiser_net.' / 'score_net.' for StoRM).
+        backbone: registry name routing to the right converter
+            (ncsnpp*/ae-ncsnpp -> NCSN++, gagnet, convtasnet).
     """
+    convert = _backbone_converter(backbone)
     sd = ckpt["state_dict"] if "state_dict" in ckpt else ckpt
-    params = convert_backbone_state_dict(sd, prefix=prefix)
+    params = convert(sd, prefix=prefix)
 
     ema = ckpt.get("ema")
     if not ema or "shadow_params" not in ema:
@@ -371,7 +463,7 @@ def convert_lightning_checkpoint(
         )
     for k, s in zip(all_trainable, shadow):
         ema_sd[k] = s
-    ema_params = convert_backbone_state_dict(ema_sd, prefix=prefix)
+    ema_params = convert(ema_sd, prefix=prefix)
     return params, ema_params
 
 
@@ -393,12 +485,17 @@ def load_reference_checkpoint(path: str, mode: str = "storm"):
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     hparams = dict(ckpt.get("hyper_parameters", {}))
     if mode == "storm":
-        p_d, e_d = convert_lightning_checkpoint(ckpt, prefix="denoiser_net.")
-        p_s, e_s = convert_lightning_checkpoint(ckpt, prefix="score_net.")
+        p_d, e_d = convert_lightning_checkpoint(
+            ckpt, prefix="denoiser_net.",
+            backbone=hparams.get("backbone_denoiser", "ncsnpp"))
+        p_s, e_s = convert_lightning_checkpoint(
+            ckpt, prefix="score_net.",
+            backbone=hparams.get("backbone_score", "ncsnpp"))
         params = {"denoiser": p_d, "score": p_s}
         ema = {"denoiser": e_d, "score": e_s}
     else:
-        params, ema = convert_lightning_checkpoint(ckpt, prefix="dnn.")
+        params, ema = convert_lightning_checkpoint(
+            ckpt, prefix="dnn.", backbone=hparams.get("backbone", "ncsnpp"))
     return params, ema, hparams
 
 

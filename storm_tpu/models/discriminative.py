@@ -96,14 +96,16 @@ class DiscriminativeModel:
         )
 
     def apply(self, params, Y, train: bool = False, rng=None,
-              quant=None, collect_stats: bool = False):
+              quant=None, collect_stats: bool = False, batch_stats=None):
         """x_hat = dnn(y, t=1) (sgmse/model.py:322-327). Y: (B, F, T, 2) for
         spec backbones; for FORCE_STFT_OUT backbones Y is converted to time
         and the TIME-domain estimate is returned (sgmse/model.py:322-327).
 
         `quant`: optional int8 activation-scale tree (models/quant.py);
         `collect_stats=True` additionally returns the calibration amax
-        tree."""
+        tree; `batch_stats`: optional running-statistics collection for
+        eval-mode BatchNorm (GaGNet norm_type="BN" checkpoints converted
+        from torch — compat/torch_ckpt.py convert_gagnet_batch_stats)."""
         t = jnp.ones((Y.shape[0],), jnp.float32)
         rngs = {"dropout": rng} if (train and rng is not None) else None
         if self.force_stft_out:
@@ -123,6 +125,8 @@ class DiscriminativeModel:
         variables = {"params": params}
         if quant is not None:
             variables["quant"] = quant
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
         if collect_stats:
             out, st = self.dnn.apply(
                 variables, Y5, t, train=train, rngs=rngs,
@@ -186,10 +190,13 @@ class DiscriminativeModel:
 
         return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
-    def make_enhance(self, num_samples: int = 0, quant=None, **ignored_kwargs):
+    def make_enhance(self, num_samples: int = 0, quant=None,
+                     batch_stats=None, **ignored_kwargs):
         """Single-pass enhancement (sgmse/model.py:345-363), jitted.
 
-        `quant`: optional int8 activation-scale tree (models/quant.py)."""
+        `quant`: optional int8 activation-scale tree (models/quant.py);
+        `batch_stats`: optional eval-mode BatchNorm running stats
+        (GaGNet norm_type="BN", see apply)."""
         del num_samples
 
         @jax.jit
@@ -204,7 +211,8 @@ class DiscriminativeModel:
                 x_hat = self.dnn.apply({"params": params}, y_n, t)
                 return x_hat[..., :T_orig] * norm, 1
             Y, _t_frames = prepare_spec(y_n, self.stft_config, self.transform)
-            X_hat = self.apply(params, Y, quant=quant)
+            X_hat = self.apply(params, Y, quant=quant,
+                               batch_stats=batch_stats)
             # full padded spec -> iSTFT(length=T_orig), reference behavior
             # (sgmse/model.py:362-363); see ScoreModel.make_enhance
             x_hat = spec_to_wav(

@@ -153,7 +153,7 @@ class StochasticRegenerationModel:
 
     def forward_denoiser(
         self, params, Y, train: bool = False, rng=None,
-        quant=None, collect_stats: bool = False,
+        quant=None, collect_stats: bool = False, batch_stats=None,
     ):
         """D(y) (sgmse/model.py:556-558). Y: (B, F, T, 2) or multichannel
         (B, D, F, T, 2); output has the input's shape.
@@ -185,6 +185,10 @@ class StochasticRegenerationModel:
         variables = {"params": params["denoiser"]}
         if quant is not None:
             variables["quant"] = quant
+        if batch_stats is not None:
+            # eval-mode BatchNorm running stats (GaGNet norm_type="BN"
+            # checkpoints converted from torch, compat/torch_ckpt.py)
+            variables["batch_stats"] = batch_stats
         if collect_stats:
             out, st = self.denoiser_net.apply(
                 variables, Y5, t, train=train, rngs=rngs,
@@ -396,6 +400,7 @@ class StochasticRegenerationModel:
         probability_flow: bool = False,
         denoiser_only: bool = False,
         quant=None,
+        batch_stats=None,
         **kwargs,
     ):
         """Jitted one-call enhancement (sgmse/model.py:720-780).
@@ -421,7 +426,8 @@ class StochasticRegenerationModel:
 
             nfe = 0
             if self.denoiser_net is not None:
-                Y_denoised = self.forward_denoiser(params, Y, quant=q_den)
+                Y_denoised = self.forward_denoiser(params, Y, quant=q_den,
+                                                   batch_stats=batch_stats)
                 nfe += 1
             else:
                 Y_denoised = None

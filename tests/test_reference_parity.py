@@ -181,6 +181,66 @@ def test_ref_gagnet_forward(ref_backbones):
     np.testing.assert_allclose(np.squeeze(out_j), ot, atol=2e-4)
 
 
+def test_ref_gagnet_bn_running_stats(ref_backbones):
+    """GaGNet norm_type="BN" checkpoint transfer: train-mode passes update
+    the torch running statistics, then eval-mode outputs must match with
+    the converted stats supplied as a flax "batch_stats" collection
+    (NormSwitch eval path; round-1 VERDICT weak #9)."""
+    from storm_tpu.backbones.gagnet import GaGNet as MyGag
+    from storm_tpu.compat.torch_ckpt import (
+        convert_gagnet_batch_stats,
+        convert_gagnet_state_dict,
+    )
+
+    kw = dict(cin=2, k1=(2, 3), k2=(1, 3), c=64, kd1=3, cd1=64, d_feat=448,
+              p=2, q=1, dilas=[1, 2, 5, 9], fft_num=512, is_u2=True,
+              causal=False, is_squeezed=False, acti_type="sigmoid",
+              intra_connect="cat", norm_type="BN", dnn_channels=1)
+    torch.manual_seed(0)
+    ref = ref_backbones.GaGNet(**kw)
+
+    rng = np.random.default_rng(1)
+    F, T = 256, 16
+    # a few train-mode passes move running_mean/var off their init
+    ref.train()
+    with torch.no_grad():
+        for i in range(3):
+            xr = rng.standard_normal((2, 1, F, T)).astype(np.float32)
+            xi = rng.standard_normal((2, 1, F, T)).astype(np.float32)
+            ref(torch.complex(torch.from_numpy(xr), torch.from_numpy(xi)))
+    ref.eval()
+
+    params = convert_gagnet_state_dict(ref.state_dict())
+    bn = convert_gagnet_batch_stats(ref.state_dict())
+    assert bn is not None
+    # the stats moved (this test would be vacuous on fresh zeros/ones)
+    means = [np.asarray(l) for l in jax.tree_util.tree_leaves(bn)]
+    assert any(np.abs(m).max() > 1e-3 for m in means)
+
+    xr = rng.standard_normal((1, 1, F, T)).astype(np.float32) * 0.3
+    xi = rng.standard_normal((1, 1, F, T)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        out_t = ref(torch.complex(torch.from_numpy(xr), torch.from_numpy(xi)))
+
+    my = MyGag.from_kwargs(**kw)
+    variables = {"params": jax.tree.map(jnp.asarray, params),
+                 "batch_stats": jax.tree.map(jnp.asarray, bn)}
+    out_j = np.asarray(
+        my.apply(variables, jnp.asarray(np.stack([xr, xi], axis=-1)),
+                 jnp.ones((1,)))
+    )
+    ot = np.squeeze(_unpack_torch(out_t))
+    np.testing.assert_allclose(np.squeeze(out_j), ot, atol=2e-4)
+
+    # without the collection, batch-stat normalization is used instead —
+    # outputs must differ (proves the collection actually took effect)
+    out_nostats = np.asarray(
+        my.apply({"params": variables["params"]},
+                 jnp.asarray(np.stack([xr, xi], axis=-1)), jnp.ones((1,)))
+    )
+    assert np.abs(out_nostats - out_j).max() > 1e-5
+
+
 def test_ref_ae_ncsnpp_forward(ref_backbones):
     """ae-ncsnpp: learned Conv1d filterbank + trunk + ConvTranspose1d
     decoder (sgmse/backbones/ncsnpp.py:516-931). Weights are perturbed from

@@ -98,11 +98,22 @@ def main():
                                                      len(test_set))
     print(f"evaluating {n} test files from {args.base_dir}")
 
+    # GaGNet norm_type="BN" running stats (side artifact written by
+    # compat/convert.py) — eval-mode BatchNorm for converted checkpoints
+    batch_stats = None
+    bn_path = os.path.join(args.ckpt, "gagnet_batch_stats.json")
+    if os.path.exists(bn_path):
+        from storm_tpu.compat.torch_ckpt import load_batch_stats
+
+        batch_stats = load_batch_stats(bn_path)
+        print(f"BatchNorm running stats loaded from {bn_path}")
+
     enhancer = BucketedEnhancer(
         model, params, minibatch=args.batch,
         sampler_type=args.sampler, predictor=args.predictor,
         corrector=args.corrector, corrector_steps=args.corrector_steps,
         snr=args.snr, N=args.N, method=args.ode_method,
+        batch_stats=batch_stats,
     )
 
     metrics = ["pesq", "si_sdr", "estoi"] + (["wer"] if args.wer else [])

@@ -151,9 +151,15 @@ def main():
                   "is below the 128-channel threshold and serving is bf16)")
         else:
             # calibrate activation scales on the first files; the scales
-            # are per-conv scalars, shared by every compile bucket
+            # are per-conv scalars, shared by every compile bucket. In
+            # streaming mode the files may be arbitrarily long — calibrate
+            # on chunk-length slices, or calibration itself would run the
+            # whole-utterance program the streaming path exists to avoid
             calib = [load_checked(f) for f in noisy_files[:4]]
             L = max(y.shape[-1] for y in calib)
+            if args.stream_chunk_s > 0:
+                L = min(L, int(args.stream_chunk_s * model_sr))
+                calib = [y[..., :L] for y in calib]
             L = -(-L // (64 * model.stft_config.hop_length)) * (
                 64 * model.stft_config.hop_length)
             y_cal = np.stack([

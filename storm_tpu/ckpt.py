@@ -138,9 +138,11 @@ class CheckpointManager:
 
     def restore_from_meta(self, meta: dict):
         """Adopt best scores from a resumed run so a worse checkpoint never
-        overwrites a better one after resume."""
-        self.best_loss = float(meta.get("best_loss", float("inf")))
-        self.best_quality = float(meta.get("best_quality", -float("inf")))
+        overwrites a better one after resume (null = no value yet)."""
+        if meta.get("best_loss") is not None:
+            self.best_loss = float(meta["best_loss"])
+        if meta.get("best_quality") is not None:
+            self.best_quality = float(meta["best_quality"])
         self.quality_metric = meta.get("quality_metric")
 
     def step(
@@ -174,12 +176,17 @@ class CheckpointManager:
         if quality_improved:
             self.best_quality = quality
 
+        def fin(v):
+            # "no value yet" sentinels (inf/-inf) serialize as null, not as
+            # the non-RFC-8259 'Infinity' token python's json would emit
+            return v if v is not None and np.isfinite(v) else None
+
         meta = {
             "epoch": epoch,
             "bad_epochs": bad_epochs,
-            "best_valid": best_valid,
-            "best_loss": self.best_loss,
-            "best_quality": self.best_quality,
+            "best_valid": fin(best_valid),
+            "best_loss": fin(self.best_loss),
+            "best_quality": fin(self.best_quality),
             "quality_metric": self.quality_metric,
         }
 

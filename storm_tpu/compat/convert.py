@@ -44,7 +44,11 @@ def main():
     from ..models.factory import build_model
     from .torch_ckpt import load_reference_checkpoint
 
-    params, ema, hparams = load_reference_checkpoint(args.ckpt, mode=args.mode)
+    import torch
+
+    raw = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+    params, ema, hparams = load_reference_checkpoint(
+        args.ckpt, mode=args.mode, ckpt=raw)
 
     if not jax.tree.leaves(params):
         raise SystemExit(
@@ -95,25 +99,31 @@ def main():
 
     # GaGNet norm_type="BN" running statistics ride along as a side
     # artifact; enhancement.py auto-loads it (NormSwitch eval semantics)
-    import torch
-
     from .torch_ckpt import convert_gagnet_batch_stats, save_batch_stats
 
-    raw = torch.load(args.ckpt, map_location="cpu", weights_only=False)
     sd = raw.get("state_dict", raw)
-    # the saved tree is exactly the "batch_stats" collection the (denoiser)
-    # GaGNet consumes — make_enhance(batch_stats=...) in both model classes
-    for prefix in ("dnn.", "denoiser_net."):
+    # the saved tree is exactly what make_enhance(batch_stats=...) expects:
+    # flat collection for single-net modes (dnn.), nested
+    # {"denoiser"/"score": tree} for storm — mirroring the quant layout
+    stats = {}
+    for prefix, net in (("dnn.", None), ("denoiser_net.", "denoiser"),
+                        ("score_net.", "score")):
         if not any(k.startswith(prefix) and k.endswith("running_mean")
                    for k in sd):
             continue
         bn = convert_gagnet_batch_stats(sd, prefix=prefix)
-        if bn is not None:
-            import os as _os
+        if bn is None:
+            continue
+        if net is None:
+            stats = bn
+        else:
+            stats[net] = bn
+    if stats:
+        import os as _os
 
-            p = _os.path.join(args.out, "gagnet_batch_stats.json")
-            save_batch_stats(p, bn)
-            print(f"BatchNorm running stats saved to {p}")
+        p = _os.path.join(args.out, "gagnet_batch_stats.json")
+        save_batch_stats(p, stats)
+        print(f"BatchNorm running stats saved to {p}")
     n = sum(x.size for x in jax.tree.leaves(params))
     print(f"converted {args.ckpt} -> {args.out} ({n/1e6:.2f}M params, "
           f"mode={config['mode']}); model config: "

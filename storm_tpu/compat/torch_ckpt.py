@@ -367,20 +367,14 @@ def convert_gagnet_batch_stats(
 
 def save_batch_stats(path: str, stats: Mapping[str, Any]):
     """Persist a batch_stats collection tree as JSON ({'a/b/mean': [...]})
-    next to a converted checkpoint (side artifact, like the int8 scales)."""
+    next to a converted checkpoint (side artifact; path convention shared
+    with the int8-scales artifact via utils.tensors.flatten_tree)."""
     import json
 
-    flat: Dict[str, list] = {}
+    from ..utils.tensors import flatten_tree
 
-    def rec(node, prefix):
-        for k, v in node.items():
-            p = f"{prefix}/{k}" if prefix else k
-            if isinstance(v, Mapping):
-                rec(v, p)
-            else:
-                flat[p] = np.asarray(v).tolist()
-
-    rec(stats, "")
+    flat = {k: np.asarray(v).tolist()
+            for k, v in flatten_tree(dict(stats)).items()}
     with open(path, "w") as f:
         json.dump(flat, f)
 
@@ -389,25 +383,28 @@ def load_batch_stats(path: str) -> Dict[str, Any]:
     """Inverse of save_batch_stats."""
     import json
 
+    from ..utils.tensors import unflatten_tree
+
     with open(path) as f:
         flat = json.load(f)
-    tree: Dict[str, Any] = {}
-    for key, val in flat.items():
-        parts = key.split("/")
-        node = tree
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = np.asarray(val, np.float32)
-    return tree
+    return unflatten_tree(
+        {k: np.asarray(v, np.float32) for k, v in flat.items()}
+    )
 
 
 def _iter_trainable_keys(sd: Mapping[str, Any]) -> Iterable[str]:
-    """state_dict keys in order, skipping frozen params (GFP W is
-    requires_grad=False in the reference and thus absent from torch-ema's
-    shadow list)."""
+    """state_dict keys in order, skipping non-trainable entries: frozen
+    params (GFP W is requires_grad=False in the reference and thus absent
+    from torch-ema's shadow list) and BatchNorm buffers
+    (running_mean/running_var/num_batches_tracked — buffers, not
+    parameters, so torch-ema never shadows them; GaGNet norm_type='BN'
+    checkpoints carry them)."""
     for key in sd:
-        if key.split(".")[-1] == "W" and "NIN" not in key:
+        tail = key.split(".")[-1]
+        if tail == "W" and "NIN" not in key:
             # GaussianFourierProjection.W (frozen)
+            continue
+        if tail in ("running_mean", "running_var", "num_batches_tracked"):
             continue
         yield key
 
@@ -467,13 +464,15 @@ def convert_lightning_checkpoint(
     return params, ema_params
 
 
-def load_reference_checkpoint(path: str, mode: str = "storm"):
+def load_reference_checkpoint(path: str, mode: str = "storm", ckpt=None):
     """Load a reference Lightning .ckpt from disk into flax param trees.
 
     Args:
         path: .ckpt file (torch.save zipfile).
         mode: 'storm' (denoiser_net.+score_net.), 'score-only' or
             'denoiser-only' (dnn.).
+        ckpt: optionally the already-torch.load'ed checkpoint dict (a
+            multi-hundred-MB deserialization callers may want to do once).
 
     Returns:
         (params, ema_params, hparams): params trees shaped for this
@@ -482,7 +481,8 @@ def load_reference_checkpoint(path: str, mode: str = "storm"):
     """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if ckpt is None:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     hparams = dict(ckpt.get("hyper_parameters", {}))
     if mode == "storm":
         p_d, e_d = convert_lightning_checkpoint(

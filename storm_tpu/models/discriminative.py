@@ -132,7 +132,7 @@ class DiscriminativeModel:
                 variables, Y5, t, train=train, rngs=rngs,
                 mutable=["quant_stats"],
             )
-            return (out[:, 0] if squeezed else out), st["quant_stats"]
+            return (out[:, 0] if squeezed else out), st.get("quant_stats", {})
         out = self.dnn.apply(variables, Y5, t, train=train, rngs=rngs)
         return out[:, 0] if squeezed else out
 

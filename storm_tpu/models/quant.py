@@ -36,22 +36,14 @@ def save_scales(path: str, quant: Optional[Dict]):
     """Persist a calibrated scale tree as JSON (tiny: one float per conv).
 
     Serving then skips the calibration pass entirely — scales are
-    checkpoint artifacts, not per-process state."""
+    checkpoint artifacts, not per-process state. Path convention shared
+    with the BatchNorm-stats artifact (utils.tensors.flatten_tree)."""
     import json
 
-    flat = {}
+    from ..utils.tensors import flatten_tree
 
-    def walk(node, prefix):
-        if node is None:
-            return
-        for k, v in node.items():
-            if k == "a_scale":
-                flat[prefix] = float(np.asarray(v))
-            else:
-                walk(v, f"{prefix}/{k}" if prefix else k)
-
-    if quant is not None:
-        walk(quant, "")
+    flat = {k: float(np.asarray(v))
+            for k, v in flatten_tree(quant or {}).items()}
     with open(path, "w") as f:
         json.dump(flat, f, indent=1, sort_keys=True)
 
@@ -60,18 +52,15 @@ def load_scales(path: str) -> Optional[Dict]:
     """Inverse of save_scales. Returns None if the file holds no scales."""
     import json
 
+    from ..utils.tensors import unflatten_tree
+
     with open(path) as f:
         flat = json.load(f)
     if not flat:
         return None
-    tree: Dict[str, Any] = {}
-    for key, val in flat.items():
-        node = tree
-        parts = key.split("/")
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = {"a_scale": jnp.asarray(val, jnp.float32)}
-    return tree
+    return unflatten_tree(
+        {k: jnp.asarray(v, jnp.float32) for k, v in flat.items()}
+    )
 
 
 def merge_stats(a: Optional[Dict], b: Optional[Dict]):

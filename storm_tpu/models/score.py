@@ -95,7 +95,7 @@ class ScoreModel:
 
     def score_apply(
         self, params, x, t, y, train: bool = False, rng=None,
-        quant=None, collect_stats: bool = False,
+        quant=None, collect_stats: bool = False, batch_stats=None,
     ):
         """score = -dnn(cat[x, y], t) (sgmse/model.py:130-136).
 
@@ -112,12 +112,15 @@ class ScoreModel:
         variables = {"params": params}
         if quant is not None:
             variables["quant"] = quant
+        if batch_stats is not None:
+            # eval-mode BatchNorm running stats (GaGNet norm_type="BN")
+            variables["batch_stats"] = batch_stats
         if collect_stats:
             out, st = self.dnn.apply(
                 variables, dnn_input, t, train=train, rngs=rngs,
                 mutable=["quant_stats"],
             )
-            return -(out[:, 0] if squeezed else out), st["quant_stats"]
+            return -(out[:, 0] if squeezed else out), st.get("quant_stats", {})
         out = self.dnn.apply(variables, dnn_input, t, train=train, rngs=rngs)
         return -(out[:, 0] if squeezed else out)
 
@@ -226,6 +229,7 @@ class ScoreModel:
         snr: float = 0.5,
         probability_flow: bool = False,
         quant=None,
+        batch_stats=None,
         **kwargs,
     ):
         """Build a jitted enhancement program for a fixed utterance length.
@@ -248,7 +252,8 @@ class ScoreModel:
             Y, t_frames = prepare_spec(y_n, self.stft_config, self.transform)
 
             def score_fn(x, t, y_sde):
-                return self.score_apply(params, x, t, y_sde, quant=quant)
+                return self.score_apply(params, x, t, y_sde, quant=quant,
+                                        batch_stats=batch_stats)
 
             if sampler_type == "pc":
                 sample, nfe = pc_sample(

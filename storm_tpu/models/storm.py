@@ -195,7 +195,7 @@ class StochasticRegenerationModel:
                 mutable=["quant_stats"],
             )
             out = out[:, 0] if squeezed else out
-            return out, st["quant_stats"]
+            return out, st.get("quant_stats", {})
         out = self.denoiser_net.apply(variables, Y5, t, train=train, rngs=rngs)
         return out[:, 0] if squeezed else out
 
@@ -212,7 +212,7 @@ class StochasticRegenerationModel:
 
     def forward_score(
         self, params, x, t, score_conditioning, train: bool = False, rng=None,
-        quant=None, collect_stats: bool = False,
+        quant=None, collect_stats: bool = False, batch_stats=None,
     ):
         """score = -score_net(cat[x, *cond], t) (sgmse/model.py:548-554).
 
@@ -230,12 +230,14 @@ class StochasticRegenerationModel:
         variables = {"params": params["score"]}
         if quant is not None:
             variables["quant"] = quant
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
         if collect_stats:
             out, st = self.score_net.apply(
                 variables, dnn_input, t, train=train, rngs=rngs,
                 mutable=["quant_stats"],
             )
-            return -(out[:, 0] if squeezed else out), st["quant_stats"]
+            return -(out[:, 0] if squeezed else out), st.get("quant_stats", {})
         out = self.score_net.apply(variables, dnn_input, t, train=train, rngs=rngs)
         return -(out[:, 0] if squeezed else out)
 
@@ -411,12 +413,17 @@ class StochasticRegenerationModel:
         `quant`: optional {"denoiser": tree|None, "score": tree|None} int8
         activation scales from `models.quant.calibrate_storm` — runs the
         large convs as int8 on the MXU (serving-only, TPU perf feature).
+        `batch_stats`: optional {"denoiser": tree|None, "score": tree|None}
+        eval-mode BatchNorm running stats (GaGNet norm_type="BN"
+        checkpoints converted from torch, compat/torch_ckpt.py).
 
         Returns `enhance(params, y, key) -> (x_hat, nfe)` for y (B, T).
         """
         del num_samples
         q_den = (quant or {}).get("denoiser")
         q_score = (quant or {}).get("score")
+        bs_den = (batch_stats or {}).get("denoiser")
+        bs_score = (batch_stats or {}).get("score")
 
         @jax.jit
         def enhance(params, y, key):
@@ -427,7 +434,7 @@ class StochasticRegenerationModel:
             nfe = 0
             if self.denoiser_net is not None:
                 Y_denoised = self.forward_denoiser(params, Y, quant=q_den,
-                                                   batch_stats=batch_stats)
+                                                   batch_stats=bs_den)
                 nfe += 1
             else:
                 Y_denoised = None
@@ -437,7 +444,9 @@ class StochasticRegenerationModel:
 
                 def score_fn(x, t, y_sde):
                     del y_sde  # conditioning closed over, like the reference
-                    return self.forward_score(params, x, t, cond, quant=q_score)
+                    return self.forward_score(params, x, t, cond,
+                                              quant=q_score,
+                                              batch_stats=bs_score)
 
                 if sampler_type == "pc":
                     sample, n = pc_sample(

@@ -10,7 +10,7 @@ extension.
 `stream_enhance` splits a long waveform into overlapping fixed-length
 chunks, enhances ALL chunks as one batch through a `BucketedEnhancer`
 (single compiled shape, MXU-saturating batch), and cross-fades the
-overlaps with an equal-power raised-cosine ramp. Properties:
+overlaps with a linear sum-to-one (equal-amplitude) ramp. Properties:
 
 - device memory is O(chunk_len * batch), independent of utterance length;
 - every chunk reuses ONE compiled executable (the chunk length is fixed);

@@ -40,3 +40,35 @@ def complex_normal_like(key, x, stddev: float = 1.0):
     re_im = jax.random.normal(key, x.shape + (2,), dtype=jnp.float32)
     z = jax.lax.complex(re_im[..., 0], re_im[..., 1]) * (stddev / jnp.sqrt(2.0))
     return z.astype(x.dtype)
+
+
+def flatten_tree(tree, sep: str = "/"):
+    """Flatten a nested string-keyed dict into {'a/b/c': leaf}.
+
+    Shared by the side-artifact serializers (int8 scales, BatchNorm running
+    stats) so there is exactly one path convention."""
+    flat = {}
+
+    def rec(node, prefix):
+        for k, v in node.items():
+            p = f"{prefix}{sep}{k}" if prefix else k
+            if isinstance(v, dict):
+                rec(v, p)
+            elif v is not None:
+                flat[p] = v
+
+    if tree:
+        rec(tree, "")
+    return flat
+
+
+def unflatten_tree(flat, sep: str = "/"):
+    """Inverse of flatten_tree."""
+    tree = {}
+    for key, val in flat.items():
+        parts = key.split(sep)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return tree

@@ -167,3 +167,18 @@ def test_scale_tree_save_load_roundtrip(tmp_path):
     # empty tree round-trips to None (pure-bf16 serving)
     save_scales(str(p), None)
     assert load_scales(str(p)) is None
+
+
+def test_calibration_without_quantizable_convs_is_noop():
+    """Backbones with no QuantizableConv (GaGNet) must calibrate to None,
+    not crash (code-review regression: empty mutable collection ->
+    st['quant_stats'] KeyError)."""
+    from storm_tpu.models import DiscriminativeModel
+    from storm_tpu.models.quant import calibrate_discriminative
+
+    model = DiscriminativeModel.create(backbone="gagnet", q=1, p=1)
+    y = np.random.default_rng(0).standard_normal((1, 2048)).astype(
+        np.float32) * 0.1
+    params = model.init_params(jax.random.PRNGKey(0), (1, 256, 16))
+    quant = calibrate_discriminative(model, params, y)
+    assert quant is None

@@ -624,3 +624,32 @@ def test_ref_lightning_checkpoint_e2e(ref_model_mod, tmp_path):
     np.testing.assert_allclose(out_e, out_ema_t, atol=1e-5)
     # raw and EMA genuinely differ (the test would be vacuous otherwise)
     assert np.abs(out_p - out_e).max() > 1e-4
+
+
+def test_ref_gagnet_bn_lightning_ema_conversion(ref_backbones):
+    """A GaGNet-BN Lightning checkpoint WITH a torch-ema section converts:
+    BN buffers (running_mean/var/num_batches_tracked) are buffers, not
+    parameters, so they must not desync the shadow_params zip
+    (code-review regression: _iter_trainable_keys used to yield them)."""
+    from storm_tpu.compat.torch_ckpt import convert_lightning_checkpoint
+
+    kw = dict(cin=2, k1=(2, 3), k2=(1, 3), c=64, kd1=3, cd1=64, d_feat=448,
+              p=2, q=1, dilas=[1, 2, 5, 9], fft_num=512, is_u2=True,
+              causal=False, is_squeezed=False, acti_type="sigmoid",
+              intra_connect="cat", norm_type="BN", dnn_channels=1)
+    torch.manual_seed(1)
+    ref = ref_backbones.GaGNet(**kw)
+    sd = {f"dnn.{k}": v for k, v in ref.state_dict().items()}
+    # torch-ema shadows requires_grad parameters only (no BN buffers)
+    shadow = [p.detach().clone() * 0.5 for p in ref.parameters()
+              if p.requires_grad]
+    ckpt = {"state_dict": sd, "ema": {"shadow_params": shadow}}
+
+    params, ema = convert_lightning_checkpoint(
+        ckpt, prefix="dnn.", backbone="gagnet")
+    # ema tree mirrors params structurally, with the 0.5-scaled values
+    p_leaves = jax.tree_util.tree_leaves(params)
+    e_leaves = jax.tree_util.tree_leaves(ema)
+    assert len(p_leaves) == len(e_leaves)
+    np.testing.assert_allclose(
+        np.asarray(e_leaves[0]), np.asarray(p_leaves[0]) * 0.5, atol=1e-6)

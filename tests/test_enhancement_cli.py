@@ -76,3 +76,40 @@ def test_enhancement_cli_quant_int8(noisy_dir, tiny_ckpt, tmp_path):
     ])
     assert "int8 calibration done" in out
     _check_outputs(noisy_dir, out_dir)
+
+
+def test_enhancement_cli_quant_scales_cached(noisy_dir, tiny_ckpt, tmp_path):
+    """Second --quant int8 run loads the persisted scales instead of
+    recalibrating (quant_int8_scales.json next to the checkpoint)."""
+    out = _run([
+        "--test_dir", noisy_dir, "--enhanced_dir", str(tmp_path / "enh_q2"),
+        "--ckpt", tiny_ckpt, "--mode", "storm",
+        "--N", "2", "--corrector", "none", "--batch", "2",
+        "--quant", "int8",
+    ])
+    assert "int8 scales loaded from" in out
+    assert os.path.exists(os.path.join(tiny_ckpt, "quant_int8_scales.json"))
+
+
+def test_enhancement_cli_stream_with_quant(noisy_dir, tiny_ckpt, tmp_path):
+    """--stream_chunk_s + --quant int8: calibration must slice to the chunk
+    length, not pad whole recordings (code-review fix). Uses a fresh ckpt
+    copy so calibration actually runs (no cached scales)."""
+    import shutil
+
+    ck = str(tmp_path / "ck_stream")
+    shutil.copytree(tiny_ckpt, ck)
+    for f in ("quant_int8_scales.json",):
+        p = os.path.join(ck, f)
+        if os.path.exists(p):
+            os.remove(p)
+    out_dir = str(tmp_path / "enh_s")
+    out = _run([
+        "--test_dir", noisy_dir, "--enhanced_dir", out_dir,
+        "--ckpt", ck, "--mode", "storm",
+        "--N", "2", "--corrector", "none", "--batch", "2",
+        "--quant", "int8", "--stream_chunk_s", "0.3",
+        "--stream_overlap_s", "0.05",
+    ])
+    assert "int8 calibration done" in out
+    _check_outputs(noisy_dir, out_dir)

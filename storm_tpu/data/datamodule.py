@@ -32,6 +32,10 @@ class SpecsDataModule:
     spec_abs_exponent: float = 0.5
     return_time: bool = False
     seed: int = 10
+    # multi-host data parallelism: (process_index, process_count); each
+    # process loads only its row-slice of every global batch (train.py
+    # sets this from jax.process_index/count under jax.distributed)
+    shard: tuple = (0, 1)
 
     def __post_init__(self):
         self.train_set = None
@@ -94,6 +98,7 @@ class SpecsDataModule:
             self._train_loader = DataLoader(
                 self.train_set, batch_size=self.batch_size, shuffle=True,
                 num_workers=self.num_workers, seed=self.seed,
+                shard=self.shard,
             )
         return self._train_loader
 
@@ -101,6 +106,7 @@ class SpecsDataModule:
         return DataLoader(
             self.valid_set, batch_size=self.batch_size, shuffle=False,
             num_workers=self.num_workers, drop_last=False,
+            shard=self.shard,
         )
 
     def test_dataloader(self) -> DataLoader:

@@ -29,6 +29,7 @@ class DataLoader:
         prefetch: int = 2,
         seed: int = 0,
         squeeze_channels: bool = True,
+        shard: tuple = (0, 1),
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -39,6 +40,20 @@ class DataLoader:
         self.seed = seed
         self._epoch = 0
         self.squeeze_channels = squeeze_channels
+        # multi-host data parallelism (torch DistributedSampler analogue,
+        # reference train.py:150 DDP): `batch_size` stays GLOBAL; process
+        # p of n loads only its contiguous row-slice of every global
+        # batch. The shuffle permutation is a pure function of
+        # (seed, epoch) on every process, so the union of the shards IS
+        # the single-process batch stream — loss equality with
+        # single-process training holds exactly at the same global batch.
+        self.process_index, self.process_count = shard
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"global batch_size {batch_size} not divisible by "
+                f"{self.process_count} processes"
+            )
+        self.local_batch_size = batch_size // self.process_count
 
     def set_epoch(self, epoch: int):
         """Pin the shuffle order for the given epoch (torch
@@ -75,8 +90,19 @@ class DataLoader:
             if self.drop_last
             else len(idx)
         )
+        lo = self.process_index * self.local_batch_size
         for i in range(0, end, self.batch_size):
-            yield idx[i : i + self.batch_size]
+            g = idx[i : i + self.batch_size]
+            if self.process_count > 1 and len(g) < self.batch_size:
+                # ragged global tail (drop_last=False): pad the INDEX list
+                # by repeating the last entry so every process still gets a
+                # full local slice — the consumer masks rows past the real
+                # global count (train.py val loop), keeping batch counts
+                # and shapes identical across processes
+                g = np.concatenate(
+                    [g, np.full(self.batch_size - len(g), g[-1], g.dtype)]
+                )
+            yield g[lo : lo + self.local_batch_size]
 
     def __iter__(self) -> Iterator:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)

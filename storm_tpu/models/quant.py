@@ -32,35 +32,60 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def save_scales(path: str, quant: Optional[Dict]):
+def save_scales(path: str, quant: Optional[Dict], meta: Optional[Dict] = None):
     """Persist a calibrated scale tree as JSON (tiny: one float per conv).
 
     Serving then skips the calibration pass entirely — scales are
     checkpoint artifacts, not per-process state. Path convention shared
-    with the BatchNorm-stats artifact (utils.tensors.flatten_tree)."""
+    with the BatchNorm-stats artifact (utils.tensors.flatten_tree).
+
+    `meta` records the calibration configuration (params source, N,
+    min_channels, calibration length, ...); `load_scales(expect_meta=...)`
+    recalibrates on mismatch instead of silently reusing stale scales.
+    The write is atomic (temp file + os.replace) so a concurrent serving
+    process never observes partial JSON."""
     import json
+    import os
 
     from ..utils.tensors import flatten_tree
 
     flat = {k: float(np.asarray(v))
             for k, v in flatten_tree(quant or {}).items()}
-    with open(path, "w") as f:
-        json.dump(flat, f, indent=1, sort_keys=True)
+    payload = {"_meta": dict(meta or {}), "scales": flat}
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
 
 
-def load_scales(path: str) -> Optional[Dict]:
-    """Inverse of save_scales. Returns None if the file holds no scales."""
+def load_scales_with_meta(path: str):
+    """Read a scale cache: returns (quant_tree_or_None, meta_or_None).
+
+    quant is None when the file records that zero convs qualified (serve
+    bf16 — still a valid cached result). meta is None for files written by
+    the pre-metadata format (a bare flat tree); callers comparing against
+    an expected calibration config should treat that as a mismatch."""
     import json
 
     from ..utils.tensors import unflatten_tree
 
     with open(path) as f:
-        flat = json.load(f)
+        payload = json.load(f)
+    if "_meta" in payload:
+        meta, flat = payload.get("_meta", {}), payload.get("scales", {})
+    else:  # legacy format: the whole file is the flat scale tree
+        meta, flat = None, payload
     if not flat:
-        return None
-    return unflatten_tree(
+        return None, meta
+    quant = unflatten_tree(
         {k: jnp.asarray(v, jnp.float32) for k, v in flat.items()}
     )
+    return quant, meta
+
+
+def load_scales(path: str) -> Optional[Dict]:
+    """Inverse of save_scales. Returns None if the file holds no scales."""
+    return load_scales_with_meta(path)[0]
 
 
 def merge_stats(a: Optional[Dict], b: Optional[Dict]):

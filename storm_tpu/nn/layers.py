@@ -69,6 +69,70 @@ def group_norm(ch: int, dtype=jnp.float32, name: Optional[str] = None) -> fnn.Gr
     )
 
 
+class SplitGroupNorm(fnn.Module):
+    """GroupNorm over the VIRTUAL concatenation [x, x2] along channels,
+    computed without materializing the concat.
+
+    TPU perf feature: the NCSN++ up path normalizes `concat(h, skip)`
+    (ncsnpp.py:379-382) — materializing that concat costs a full
+    activation write+read per up-resblock, measured ~40% of the
+    GN+act+conv chain time at serving shapes (scripts/perf_round3_probe.py).
+    Group statistics are assembled from per-channel moments of each part
+    (mean of equal-count means == overall mean), so groups that straddle
+    the h/skip channel boundary are handled exactly.
+
+    Parameter layout ("scale"/"bias" of the full channel count) and
+    single-input numerics match `flax.linen.GroupNorm(use_fast_variance)`;
+    instantiate with name="GroupNorm_0"/... to keep checkpoint paths
+    identical.
+    """
+
+    num_groups: int
+    epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x, x2=None):
+        C = x.shape[-1] + (0 if x2 is None else x2.shape[-1])
+        scale = self.param("scale", fnn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", fnn.initializers.zeros, (C,), jnp.float32)
+        G = self.num_groups
+        assert C % G == 0, (C, G)
+        gs = C // G
+
+        def channel_moments(v):
+            vf = v.astype(jnp.float32)
+            axes = tuple(range(1, v.ndim - 1))
+            return jnp.mean(vf, axis=axes), jnp.mean(vf * vf, axis=axes)
+
+        m, m2 = channel_moments(x)
+        if x2 is not None:
+            m_2, m2_2 = channel_moments(x2)
+            m = jnp.concatenate([m, m_2], axis=-1)      # (B, C): tiny
+            m2 = jnp.concatenate([m2, m2_2], axis=-1)
+        B = m.shape[0]
+        mean_g = jnp.mean(m.reshape(B, G, gs), axis=-1)
+        mean2_g = jnp.mean(m2.reshape(B, G, gs), axis=-1)
+        var_g = jnp.maximum(mean2_g - mean_g * mean_g, 0.0)
+        # fold scale into rsqrt like flax _normalize: y = (v - mean) * mul + b
+        mul_c = (
+            jnp.repeat(jax.lax.rsqrt(var_g + self.epsilon), gs, axis=-1)
+            * scale[None, :]
+        )  # (B, C)
+        add_c = bias[None, :] - jnp.repeat(mean_g, gs, axis=-1) * mul_c
+
+        def normalize(v, lo, hi):
+            sl = (slice(None),) + (None,) * (v.ndim - 2)
+            y = v.astype(jnp.float32) * mul_c[:, lo:hi][sl] \
+                + add_c[:, lo:hi][sl]
+            return y.astype(self.dtype)
+
+        if x2 is None:
+            return normalize(x, 0, C)
+        Cx = x.shape[-1]
+        return normalize(x, 0, Cx), normalize(x2, Cx, C)
+
+
 def conv3x3(
     out_ch: int,
     init_scale: float = 1.0,
@@ -405,26 +469,48 @@ class ResnetBlockBigGANpp(fnn.Module):
     init_scale: float = 0.0
 
     @fnn.compact
-    def __call__(self, x, temb=None, train: bool = False):
+    def __call__(self, x, temb=None, train: bool = False, skip=None):
+        """`skip`: optional second input — the block then operates on the
+        VIRTUAL channel concat [x, skip] (the NCSN++ up-path pattern,
+        ncsnpp.py:379-382) without ever materializing it: GroupNorm via
+        SplitGroupNorm, Conv_0/Conv_2 via kernel splitting. Parameters and
+        math are identical to calling it on jnp.concatenate([x, skip], -1);
+        serving-shape chain time drops ~40% (perf_round3_probe.py)."""
         out_ch = self.out_ch if self.out_ch is not None else self.in_ch
-        h = self.act(group_norm(self.in_ch, dtype=x.dtype)(x))
+        if skip is not None:
+            # only the split path uses SplitGroupNorm — its param tree
+            # ({scale, bias}) is identical to fnn.GroupNorm, but the plain
+            # path keeps flax's single-fusion grouped reduction (measured
+            # faster for one input)
+            assert not self.up and not self.down
+            gn0 = SplitGroupNorm(
+                num_groups=min(self.in_ch // 4, 32), epsilon=1e-6,
+                dtype=x.dtype, name="GroupNorm_0",
+            )
+            hx, hs = gn0(x, skip)
+            h = (self.act(hx), self.act(hs))
+        else:
+            h = self.act(
+                group_norm(self.in_ch, dtype=x.dtype, name="GroupNorm_0")(x)
+            )
 
-        if self.up:
-            if self.fir:
-                h = upsample_2d(h, self.fir_kernel, factor=2)
-                x = upsample_2d(x, self.fir_kernel, factor=2)
-            else:
-                h = naive_upsample_2d(h, factor=2)
-                x = naive_upsample_2d(x, factor=2)
-        elif self.down:
-            if self.fir:
-                h = downsample_2d(h, self.fir_kernel, factor=2)
-                x = downsample_2d(x, self.fir_kernel, factor=2)
-            else:
-                h = naive_downsample_2d(h, factor=2)
-                x = naive_downsample_2d(x, factor=2)
+            if self.up:
+                if self.fir:
+                    h = upsample_2d(h, self.fir_kernel, factor=2)
+                    x = upsample_2d(x, self.fir_kernel, factor=2)
+                else:
+                    h = naive_upsample_2d(h, factor=2)
+                    x = naive_upsample_2d(x, factor=2)
+            elif self.down:
+                if self.fir:
+                    h = downsample_2d(h, self.fir_kernel, factor=2)
+                    x = downsample_2d(x, self.fir_kernel, factor=2)
+                else:
+                    h = naive_downsample_2d(h, factor=2)
+                    x = naive_downsample_2d(x, factor=2)
 
-        h = conv3x3(out_ch, name="Conv_0", dtype=x.dtype)(h)
+        conv0 = conv3x3(out_ch, name="Conv_0", dtype=x.dtype)
+        h = conv0(*h) if skip is not None else conv0(h)
         if temb is not None:
             h = h + fnn.Dense(
                 out_ch,
@@ -434,12 +520,20 @@ class ResnetBlockBigGANpp(fnn.Module):
                 dtype=x.dtype,
                 name="Dense_0",
             )(self.act(temb))[:, None, None, :]
-        h = self.act(group_norm(out_ch, dtype=x.dtype)(h))
+        # explicit name: the first norm is a SplitGroupNorm, so flax
+        # auto-numbering would otherwise call this one GroupNorm_0
+        h = self.act(group_norm(out_ch, dtype=x.dtype, name="GroupNorm_1")(h))
         h = fnn.Dropout(self.dropout, deterministic=not train)(h)
         h = conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1", dtype=x.dtype)(h)
 
         if self.in_ch != out_ch or self.up or self.down:
-            x = conv1x1(out_ch, name="Conv_2", dtype=x.dtype)(x)
+            shortcut = conv1x1(out_ch, name="Conv_2", dtype=x.dtype)
+            x = shortcut(x, skip) if skip is not None else shortcut(x)
+        elif skip is not None:
+            raise ValueError(
+                "split-input resblock requires a Conv_2 shortcut "
+                "(in_ch != out_ch)"
+            )
 
         if not self.skip_rescale:
             return x + h

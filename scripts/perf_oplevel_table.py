@@ -94,15 +94,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--nf", type=int, default=128,
+                    help="128 = production; small values for CPU smoke")
+    ap.add_argument("--min_channels", type=int, default=128)
     args = ap.parse_args()
 
     B, F, T = args.batch, 256, 256
     rng = np.random.default_rng(0)
-    net = NCSNpp(input_channels=6, dtype=jnp.bfloat16)
+    net = NCSNpp(input_channels=6, nf=args.nf, dtype=jnp.bfloat16)
     x1 = jnp.asarray(rng.standard_normal((1, 3, F, T, 2)) * 0.3, jnp.bfloat16)
     t1 = jnp.full((1,), 0.5, jnp.float32)
     params = net.init(jax.random.PRNGKey(0), x1, t1)["params"]
-    q = quant_tree(params)
+    q = quant_tree(params, min_channels=args.min_channels)
 
     x = jnp.asarray(rng.standard_normal((B, 3, F, T, 2)) * 0.3, jnp.bfloat16)
     t = jnp.full((B,), 0.5, jnp.float32)

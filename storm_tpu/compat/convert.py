@@ -75,23 +75,50 @@ def main():
         except json.JSONDecodeError:
             config[k] = v
 
-    # validate converted tree structure + shapes against the config's model
+    # validate converted tree against the config's model: strict on missing
+    # keys and shape mismatches; EXTRA converted leaves are pruned with a
+    # notice (the reference builds modules its forward never uses — e.g.
+    # the discriminative NCSN++ still constructs temb Dense layers,
+    # sgmse/backbones/ncsnpp.py:80-86 + layerspp.py:220-231 — and torch-ema
+    # shadows them too; this model simply has no such parameters)
+    from jax.tree_util import keystr, tree_flatten_with_path
+
     model = build_model(dict(config))
     expected = jax.eval_shape(
         lambda: model.init_params(jax.random.PRNGKey(0), (1, 256, 64))
     )
-    exp_shapes, exp_tree = jax.tree.flatten(
-        jax.tree.map(lambda a: tuple(a.shape), expected)
-    )
-    got_shapes, got_tree = jax.tree.flatten(
-        jax.tree.map(lambda a: tuple(a.shape), params)
-    )
-    if exp_tree != got_tree or exp_shapes != got_shapes:
+
+    def path_shapes(tree):
+        return {keystr(p): tuple(v.shape)
+                for p, v in tree_flatten_with_path(tree)[0]}
+
+    exp, got = path_shapes(expected), path_shapes(params)
+    missing = sorted(set(exp) - set(got))
+    mismatched = sorted(k for k in set(exp) & set(got) if exp[k] != got[k])
+    if missing or mismatched:
+        detail = "".join(
+            [f"\n  missing: {k} {exp[k]}" for k in missing[:10]]
+            + [f"\n  shape: {k} expected {exp[k]} got {got[k]}"
+               for k in mismatched[:10]]
+        )
         raise SystemExit(
             "converted parameter tree does not match the model built from "
             "the config — architecture hparams (nf/ch_mult/image_size/...) "
-            "likely differ; pass them with --set key=value"
+            "likely differ; pass them with --set key=value" + detail
         )
+    extra = sorted(set(got) - set(exp))
+    if extra:
+        print(f"pruning {len(extra)} converted leaves with no counterpart "
+              f"in this model (unused-by-forward reference modules), e.g. "
+              f"{extra[0]}")
+
+        def prune(sub, ref):
+            if not isinstance(sub, dict):
+                return sub
+            return {k: prune(sub[k], ref[k]) for k in sub if k in ref}
+
+        params = prune(params, expected)
+        ema = prune(ema, expected)
 
     state = init_train_state(params, make_optimizer(config.get("lr", 1e-4)))
     state = state.replace(ema_params=ema)

@@ -29,7 +29,12 @@ def pesq_wb(sr: int, ref: np.ndarray, deg: np.ndarray) -> float:
     """
     global _PESQ_WARNED
     try:
+        import pesq as _pesq_mod
         from pesq import pesq as _pesq
+        # a bare ModuleType shim (no __file__) is a test stub standing in
+        # for the reference's import, not a usable PESQ implementation
+        if getattr(_pesq_mod, "__file__", None) is None:
+            raise ImportError("pesq module is a stub")
     except ImportError:
         if not _PESQ_WARNED:
             warnings.warn(

@@ -44,11 +44,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SDE_KW = dict(theta=1.5, sigma_min=0.05, sigma_max=0.5, N=1000)
 
 
-class _DummyDM:
-    def __init__(self, **kw):
-        self.batch_size = kw.get("batch_size", 8)
-
-
 class _patched_rand:
     def __init__(self, u, z):
         self.u, self.z = u, z
@@ -71,10 +66,13 @@ def fullsize_pair():
     """(reference 27.8M+27.8M StoRM, converted params, my model) at the
     DEFAULT production config — no size-reducing overrides."""
     ref_model_mod = load_reference_model_module()
+    import sgmse.data_module as ref_dm_mod
+
     torch.manual_seed(11)
     m = ref_model_mod.StochasticRegenerationModel(
         backbone_denoiser="ncsnpp", backbone_score="ncsnpp", sde="ouve",
-        data_module_cls=_DummyDM, loss_type_denoiser="mse",
+        data_module_cls=ref_dm_mod.SpecsDataModule,  # enhance needs stft
+        loss_type_denoiser="mse",
         loss_type_score="mse", condition="both", **_SDE_KW,
     )
     m.eval(no_ema=True)

@@ -9,6 +9,7 @@ Non-powers-of-two regress badly (spatial-batch tiling); B=64 beats B=16
 by only 1.4% at 4x the latency, so B=16 stays bench.py's default.
 
 Usage: python -u scripts/perf_batch_probe.py [B ...]   (real chip)
+       STORM_PROBE_BACKBONE=ncsnpplarge python -u scripts/perf_batch_probe.py 8
 """
 from __future__ import annotations
 
@@ -58,7 +59,14 @@ def main():
     batches = [int(a) for a in sys.argv[1:]] or [48, 64, 96]
     F, T = 256, 256
     rng = np.random.default_rng(0)
-    net = NCSNpp(input_channels=6, dtype=jnp.bfloat16)
+    bname = os.environ.get("STORM_PROBE_BACKBONE", "ncsnpp")
+    if bname == "ncsnpp":
+        net = NCSNpp(input_channels=6, dtype=jnp.bfloat16)
+    else:
+        from storm_tpu.backbones import BackboneRegistry
+
+        net = BackboneRegistry.get_by_name(bname).from_kwargs(
+            input_channels=6, dtype=jnp.bfloat16)
     x1 = jnp.asarray(rng.standard_normal((1, 3, F, T, 2)) * 0.3, jnp.bfloat16)
     t1 = jnp.full((1,), 0.5, jnp.float32)
     params = net.init(jax.random.PRNGKey(0), x1, t1)["params"]
@@ -71,7 +79,7 @@ def main():
         try:
             scan_time(
                 lambda c, tt: net.apply({"params": params, "quant": q}, c, tt),
-                x, t, label=f"int8 B={B}")
+                x, t, label=f"int8 {bname} B={B}")
         except Exception as e:  # noqa: BLE001 — OOM expected at large B
             print(f"int8 B={B}: {type(e).__name__}: {str(e)[:120]}",
                   flush=True)

@@ -210,3 +210,30 @@ def test_paired_files_all_formats(tmp_path):
 
     with pytest.raises(ValueError):
         paired_files(str(tmp_path), "train", "nope")
+
+
+def test_pesq_gated_with_stub_module():
+    """A bare ModuleType `pesq` stub (installed by ref_loader so reference
+    imports resolve) must read as 'absent' — NaN, not the stub's
+    RuntimeError. Regression: test-order-dependent failure when reference
+    parity tests ran before this file."""
+    import sys
+    import types
+
+    from storm_tpu.utils.metrics import pesq_wb
+
+    def _unavailable(*_a, **_k):
+        raise RuntimeError("stubbed module — not available in this image")
+
+    saved = sys.modules.get("pesq")
+    try:
+        stub = types.ModuleType("pesq")
+        stub.pesq = _unavailable
+        sys.modules["pesq"] = stub
+        s = _speechlike()
+        assert np.isnan(pesq_wb(16000, s, s))
+    finally:
+        if saved is None:
+            sys.modules.pop("pesq", None)
+        else:
+            sys.modules["pesq"] = saved

@@ -186,6 +186,13 @@ def main():
                 return int(nsamp)
         except Exception:
             pass
+        import wave
+
+        try:  # header-only: don't decode the file just to learn its length
+            with wave.open(path, "rb") as w:
+                return int(w.getnframes())
+        except Exception:
+            pass
         from storm_tpu.data.audio import load_wav
 
         return load_wav(path)[0].shape[-1]

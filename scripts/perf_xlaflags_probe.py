@@ -21,7 +21,7 @@ FLAG_SETS = [
     ("latency-hiding-sched", "--xla_tpu_enable_latency_hiding_scheduler=true"),
     ("async-all-fusion", "--xla_tpu_enable_async_collective_fusion=true"),
     ("vmem-128M", "--xla_tpu_scoped_vmem_limit_kib=131072"),
-    ("no-rematerialization", "--xla_tpu_enable_dot_strength_reduction=false"),
+    ("no-dot-strength-red", "--xla_tpu_enable_dot_strength_reduction=false"),
     ("flash-attn-off", "--xla_tpu_enable_flash_attention=false"),
 ]
 

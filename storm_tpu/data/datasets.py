@@ -94,14 +94,19 @@ class Specs:
         self.normalize_audio = normalize_audio
         self.hop_length = hop_length
         # np.random.Generator is not thread-safe and __getitem__ runs in a
-        # thread pool: derive a fresh per-call generator from a base seed
-        # and an atomic access counter (GIL-atomic itertools.count)
-        import itertools
-
+        # thread pool: derive a fresh per-call generator from a base seed,
+        # the item index and the current epoch. Crops are then a pure
+        # function of (seed, i, epoch) — any process cropping item i in
+        # epoch e gets the same window, so multi-host shards reproduce the
+        # single-process batch stream exactly and resume replays crops
         self._base_seed = (
             int(rng.integers(2**31)) if rng is not None else 10
         )
-        self._counter = itertools.count()
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Advance the crop-randomness epoch (forwarded by DataLoader)."""
+        self._epoch = int(epoch)
 
     @property
     def target_len(self) -> int:
@@ -134,7 +139,7 @@ class Specs:
         if pad == 0:
             if self.shuffle_spec:
                 rng = np.random.default_rng(
-                    (self._base_seed, i, next(self._counter))
+                    (self._base_seed, i, self._epoch)
                 )
                 start = int(rng.uniform(0, current_len - target_len))
             else:

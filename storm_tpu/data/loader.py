@@ -85,6 +85,10 @@ class DataLoader:
             # set_epoch still reshuffles every epoch
             epoch, self._epoch = self._epoch, self._epoch + 1
             np.random.default_rng((self.seed, epoch)).shuffle(idx)
+            # pin the dataset's crop randomness to the same epoch so crops
+            # are (seed, i, epoch)-pure across processes and resumes
+            if hasattr(self.dataset, "set_epoch"):
+                self.dataset.set_epoch(epoch)
         end = (
             len(idx) - len(idx) % self.batch_size
             if self.drop_last

@@ -54,6 +54,10 @@ def calibrate_or_load_scales(
         "min_channels": min_channels,
         "mode": mode,
         "stream_chunk_s": stream_chunk_s,
+        # effective trajectory length the scales were integrated over
+        # (capped at 10 in calibrate_*): scales from an --N 2 run must not
+        # be silently reused by an --N 50 run (advisor fix, round 3)
+        "calib_N": min(N, 10) if mode in ("storm", "score-only") else 0,
     }
     cache = os.path.join(ckpt_dir, "quant_int8_scales.json")
     if os.path.exists(cache):
@@ -96,6 +100,9 @@ def calibrate_or_load_scales(
         quant = quant_mod.calibrate_discriminative(
             model, params, y_cal, min_channels=min_channels)
     try:
+        # informational extras (not part of the reuse-match key set)
+        calib_meta = dict(calib_meta, calib_len=int(L),
+                          calib_files=int(y_cal.shape[0]))
         quant_mod.save_scales(cache, quant, meta=calib_meta)
         print(f"int8 calibration done ({n_quantized(quant)} convs "
               f"quantized; scales saved to {cache})")

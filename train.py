@@ -215,11 +215,29 @@ def main():
     n_proc = jax.process_count()
     is_main = jax.process_index() == 0
 
+    def mh_barrier(name: str, timeout_min: int = 120):
+        """Multi-host rendezvous via the coordination service (NOT a device
+        collective): XLA's CPU Gloo collectives time out after ~30 s, so a
+        rank doing rank-0-only work (eval, checkpoint I/O) for longer than
+        that would kill every peer waiting in the next psum. This barrier
+        waits minutes-to-hours without touching the collective path."""
+        if n_proc > 1:
+            from jax._src import distributed as _dist
+
+            _dist.global_state.client.wait_at_barrier(
+                name, timeout_in_ms=timeout_min * 60 * 1000)
+
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    from storm_tpu.utils.jaxcache import enable_jax_compilation_cache
-    enable_jax_compilation_cache()
+    if n_proc == 1:
+        # persistent compile cache keys include the (per-process) device
+        # topology: in a multi-process run one rank can hit a warm entry
+        # while a peer compiles cold for minutes, and the warm rank then
+        # dies in the first collective's ~30 s Gloo timeout. Cold-compiling
+        # every rank keeps their arrival skew at seconds.
+        from storm_tpu.utils.jaxcache import enable_jax_compilation_cache
+        enable_jax_compilation_cache()
     from storm_tpu.ckpt import (AsyncCheckpointManager, CheckpointManager,
                                 load_checkpoint, load_meta)
     from storm_tpu.data import SpecsDataModule
@@ -438,6 +456,11 @@ def main():
     global_step = int(state.step)
     t_start = time.time()
 
+    # align ranks after per-process setup (data scan, resume restore) so
+    # the first compiled step's collective rendezvous only sees compile
+    # skew, not setup skew
+    mh_barrier("storm_setup")
+
     for epoch in range(start_epoch, args.max_epochs):
         # epoch-deterministic RNG + shuffle order: a resumed run replays
         # exactly the stream a continuous run would have used (the per-step
@@ -557,6 +580,10 @@ def main():
                                 pesq=pesq_est, estoi=estoi_est, epoch=epoch,
                                 bad_epochs=bad_epochs, best_valid=best_valid)
 
+        # rank 0 just spent unbounded wall time in eval/logging/checkpoint
+        # dispatch; re-align before the next epoch's first collective
+        mh_barrier(f"storm_epoch_{epoch}")
+
         if bad_epochs >= args.patience:
             print(f"early stopping at epoch {epoch}")
             break
@@ -569,10 +596,11 @@ def main():
         metrics_file.close()
     if n_proc > 1:
         # align exits: a process leaving while a peer still polls the
-        # coordination service turns a clean finish into an RPC error
-        from jax.experimental import multihost_utils
-
-        multihost_utils.sync_global_devices("storm_tpu_train_done")
+        # coordination service turns a clean finish into an RPC error.
+        # Coordination-service barrier, not a device collective — rank 0
+        # may still be finishing checkpoint I/O well past the ~30 s Gloo
+        # collective timeout.
+        mh_barrier("storm_tpu_train_done")
         jax.distributed.shutdown()
     if is_main:
         print("training done.")

@@ -52,7 +52,14 @@ def main():
                     help="serving quantization (default int8 W8A8 PTQ — "
                     "quality-neutral on a converged model, see BASELINE.md "
                     "int8 quality parity table; 'none' = bf16 serving)")
+    ap.add_argument("--deepcache", type=int, default=None,
+                    help="deep-feature cache refresh interval "
+                    "(DeepCache-style, arXiv:2312.00858; BASELINE.md "
+                    "quality table). Default: production serving config")
+    ap.add_argument("--deepcache_depth", type=int, default=1)
     args = ap.parse_args()
+    if args.deepcache is None:
+        args.deepcache = 0
 
     from storm_tpu.utils.jaxcache import enable_jax_compilation_cache
     enable_jax_compilation_cache()
@@ -137,6 +144,8 @@ def main():
         corrector=args.corrector,
         corrector_steps=args.corrector_steps,
         quant=quant,
+        deepcache=args.deepcache,
+        deepcache_depth=args.deepcache_depth,
     )
 
     # compile + warmup. NOTE: block_until_ready does not reliably block on
@@ -161,7 +170,9 @@ def main():
     nfe31 = None
     if not args.train and args.N == 50 and args.corrector == "ald":
         enhance31 = model.make_enhance(num_samples, N=30, corrector="none",
-                                       quant=quant)
+                                       quant=quant,
+                                       deepcache=args.deepcache,
+                                       deepcache_depth=args.deepcache_depth)
         x_hat, _ = enhance31(params, y, jax.random.PRNGKey(99))
         _ = np.asarray(x_hat)
         t31 = []
@@ -191,6 +202,7 @@ def main():
             "backend": jax.default_backend(),
             "storm_default_nfe31_audio_sec_per_sec": nfe31,
             "quant": args.quant,
+            "deepcache": args.deepcache,
         },
     }))
 

@@ -81,6 +81,16 @@ def main():
                         "0 = whole-utterance (reference behavior)")
     parser.add_argument("--stream_overlap_s", type=float, default=0.5,
                         help="crossfaded overlap between streaming chunks")
+    parser.add_argument("--deepcache", type=int, default=0,
+                        help="deep-feature cache refresh interval for the "
+                        "pc sampler (DeepCache-style, arXiv:2312.00858): "
+                        "refresh the score net's deep U-Net features every "
+                        "K steps and recompute only the top levels per "
+                        "score eval. 0 = off (exact reference trajectory); "
+                        "quality vs K measured in BASELINE.md")
+    parser.add_argument("--deepcache_depth", type=int, default=1,
+                        help="number of top U-Net levels recomputed per "
+                        "cached score eval (--deepcache)")
     args = parser.parse_args()
     if args.data_parallel and args.batch <= 1:
         args.batch = 8
@@ -167,6 +177,7 @@ def main():
         corrector=args.corrector, corrector_steps=args.corrector_steps,
         snr=args.snr, N=args.N, method=args.ode_method, sweeps=args.sweeps,
         quant=quant, batch_stats=batch_stats,
+        deepcache=args.deepcache, deepcache_depth=args.deepcache_depth,
     )
     args.batch = max(args.batch, enhancer.minibatch or 1)
 

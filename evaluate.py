@@ -56,6 +56,10 @@ def main():
                     "enhancement.py --quant)")
     ap.add_argument("--quant_min_channels", type=int, default=128,
                     help="int8 coverage threshold (see enhancement.py)")
+    ap.add_argument("--deepcache", type=int, default=0,
+                    help="deep-feature cache refresh interval for the pc "
+                    "sampler (DeepCache-style, arXiv:2312.00858); 0 = off")
+    ap.add_argument("--deepcache_depth", type=int, default=1)
     ap.add_argument("--no-ema", action="store_true")
     ap.add_argument("--csv", default=None, help="write per-file metrics here")
     ap.add_argument("--wer", action="store_true",
@@ -135,6 +139,7 @@ def main():
         corrector=args.corrector, corrector_steps=args.corrector_steps,
         snr=args.snr, N=args.N, method=args.ode_method,
         quant=quant, batch_stats=batch_stats,
+        deepcache=args.deepcache, deepcache_depth=args.deepcache_depth,
     )
 
     metrics = ["pesq", "si_sdr", "estoi"] + (["wer"] if args.wer else [])

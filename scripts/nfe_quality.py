@@ -65,6 +65,11 @@ def main():
     ap.add_argument("--configs", default=None,
                     help="comma-separated substrings: only run configs "
                     "whose name matches one (e.g. 'pc N=30,pc N=50 ald')")
+    ap.add_argument("--deepcache", type=int, default=0,
+                    help="deep-feature cache refresh interval for pc "
+                    "configs (DeepCache-style; ode/picard configs are "
+                    "skipped when set)")
+    ap.add_argument("--deepcache_depth", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -135,10 +140,18 @@ def main():
         configs = [(nm, kw) for nm, kw in CONFIGS
                    if any(p in nm for p in pats)]
 
+    if args.deepcache:
+        configs = [(nm, kw) for nm, kw in configs
+                   if kw.get("sampler_type") == "pc"]
+
     results = []
     for name, kw in configs:
         if quant is not None:
             name = name + " +int8"
+        if args.deepcache:
+            name = name + f" +dc{args.deepcache}"
+            kw = dict(kw, deepcache=args.deepcache,
+                      deepcache_depth=args.deepcache_depth)
         enhancer = BucketedEnhancer(model, params, minibatch=args.batch,
                                     bucket_frames=args.bucket_frames,
                                     quant=quant, **kw)

@@ -269,8 +269,12 @@ class NCSNpp(fnn.Module):
         modules.append(ResBlock(len(modules), in_ch=in_ch))
 
         # --- upsampling trunk ----------------------------------------------
+        # module index at the start of each up-level iteration: the resume
+        # points for deep-feature-cached partial forwards (`forward_shallow`)
+        up_starts = {}
         pyramid_ch = 0
         for i_level in reversed(range(num_resolutions)):
+            up_starts[i_level] = len(modules)
             for _ in range(self.num_res_blocks + 1):
                 out_ch = nf * self.ch_mult[i_level]
                 modules.append(
@@ -358,6 +362,7 @@ class NCSNpp(fnn.Module):
             )
 
         self.all_modules = modules
+        self._up_start_idx = up_starts
         # Final 1x1 conv to 2*spatial_channels real output channels
         # (ncsnpp.py:108). Plain flax default init (reference uses the torch
         # Conv2d default there, not the DDPM init).
@@ -382,31 +387,88 @@ class NCSNpp(fnn.Module):
         Returns:
             packed-real (B, spatial_channels, F, T, 2).
         """
-        # complex->channel split: per complex channel [re, im] interleaved,
-        # channels-last (reference does the same split channels-first,
-        # ncsnpp.py:289-296).
+        h_in = self._pack_input(x)
+        h = self._unet(h_in, time_cond, train)
+        return self._unpack_output(h, x.shape)
+
+    def _pack_input(self, x):
+        """complex->channel split: per complex channel [re, im] interleaved,
+        channels-last (reference does the same split channels-first,
+        ncsnpp.py:289-296)."""
         B, Cc, Fdim, Tdim, _ = x.shape
         assert 2 * Cc == self.total_channels, (
             f"got {Cc} complex channels, expected {self.total_channels // 2}"
         )
         h_in = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(B, Fdim, Tdim, 2 * Cc)
-        h_in = h_in.astype(self.dtype)
+        return h_in.astype(self.dtype)
 
-        h = self._unet(h_in, time_cond, train)
-
+    def _unpack_output(self, h, in_shape):
+        B, _, Fdim, Tdim, _ = in_shape
         h = self.output_layer(h)  # (B, F, T, 2*D), [re(d) for d] + [im(d) for d]
         h = h.astype(jnp.float32)
         D = self.spatial_channels
         h = h.reshape(B, Fdim, Tdim, 2, D)
         return jnp.transpose(h, (0, 4, 1, 2, 3))  # (B, D, F, T, 2)
 
-    def _unet(self, h_in, time_cond, train: bool = False):
+    # --- deep-feature caching (serving perf; DeepCache-style, public
+    # technique: Ma et al., "DeepCache: Accelerating Diffusion Models for
+    # Free", arXiv:2312.00858) ---------------------------------------------
+    #
+    # The reverse-diffusion sampler evaluates this net 30-101 times with
+    # slowly-varying x_t and FIXED conditioning channels (y, D(y)) — deep
+    # U-Net features are nearly constant across adjacent steps. `deep_features`
+    # runs the down trunk + bottleneck + up levels down to `cache_depth` and
+    # returns (h, pyramid) at the entry of up-level `cache_depth-1`;
+    # `forward_shallow` reuses that cache and recomputes only the top
+    # `cache_depth` levels (~1/3 of the FLOPs at the default config).
+    # Invariant: forward_shallow(x, t, deep_features(x, t)) == __call__(x, t)
+    # exactly (tests/test_deepcache.py).
+
+    def deep_features(self, x, time_cond=None, cache_depth: int = 1):
+        """Down trunk + bottleneck + up levels >= cache_depth; returns the
+        (h, pyramid) cache consumed by `forward_shallow`."""
+        h_in = self._pack_input(x)
+        return self._unet(
+            h_in, time_cond, False,
+            cache_depth=cache_depth, return_cache=True,
+        )
+
+    def forward_shallow(self, x, time_cond=None, cache=None,
+                        cache_depth: int = 1):
+        """Top-`cache_depth` levels only, resuming the up path from a
+        `deep_features` cache."""
+        assert cache is not None
+        h_in = self._pack_input(x)
+        h = self._unet(
+            h_in, time_cond, False, cache=cache, cache_depth=cache_depth,
+        )
+        return self._unpack_output(h, x.shape)
+
+    def _unet(self, h_in, time_cond, train: bool = False, cache=None,
+              cache_depth: int = 0, return_cache: bool = False):
         """U-Net trunk on a real NHWC image (B, H, W, total_channels) ->
         (B, H, W, total_channels or pyramid channels), incl. scale_by_sigma
-        but excluding the final 1x1 output projection."""
+        but excluding the final 1x1 output projection.
+
+        Deep-feature caching modes (see `deep_features`/`forward_shallow`):
+        `return_cache=True` stops at the entry of up-level `cache_depth-1`
+        and returns the (h, pyramid) cache; `cache=(h, pyramid)` skips the
+        down levels >= cache_depth, the bottleneck, and the up levels
+        >= cache_depth, resuming the up path from the cache."""
         modules = self.all_modules
         m_idx = 0
         act = get_act(self.nonlinearity)
+        shallow = cache is not None
+        if shallow or return_cache:
+            assert 1 <= cache_depth < self.num_resolutions, (
+                f"cache_depth must be in [1, {self.num_resolutions - 1}], "
+                f"got {cache_depth}"
+            )
+            assert (
+                self.progressive == "output_skip"
+                and self.progressive_input == "input_skip"
+                and self.resblock_type == "biggan"
+            ), "deep-feature caching supports the default NCSN++ config only"
 
         # --- time embedding ------------------------------------------------
         if self.embedding_type == "fourier":
@@ -442,7 +504,8 @@ class NCSNpp(fnn.Module):
 
         hs = [modules[m_idx](h_in)]
         m_idx += 1
-        for i_level in range(self.num_resolutions):
+        n_down = cache_depth if shallow else self.num_resolutions
+        for i_level in range(n_down):
             for _ in range(self.num_res_blocks):
                 h = modules[m_idx](hs[-1], temb, train=train)
                 m_idx += 1
@@ -451,7 +514,11 @@ class NCSNpp(fnn.Module):
                     m_idx += 1
                 hs.append(h)
 
-            if i_level != self.num_resolutions - 1:
+            # in shallow mode the last recomputed level's downsampled h is
+            # consumed by a SKIPPED up level — don't compute it
+            if i_level != self.num_resolutions - 1 and not (
+                shallow and i_level == cache_depth - 1
+            ):
                 if self.resblock_type == "ddpm":
                     h = modules[m_idx](hs[-1])
                     m_idx += 1
@@ -473,18 +540,28 @@ class NCSNpp(fnn.Module):
                     h = input_pyramid
                 hs.append(h)
 
-        # --- bottleneck ----------------------------------------------------
-        h = hs[-1]
-        h = modules[m_idx](h, temb, train=train)
-        m_idx += 1
-        h = modules[m_idx](h)
-        m_idx += 1
-        h = modules[m_idx](h, temb, train=train)
-        m_idx += 1
+        if shallow:
+            h, pyramid = cache
+            h = h.astype(self.dtype)
+            pyramid = pyramid.astype(self.dtype)
+            m_idx = self._up_start_idx[cache_depth - 1]
+            up_levels = range(cache_depth - 1, -1, -1)
+        else:
+            # --- bottleneck ------------------------------------------------
+            h = hs[-1]
+            h = modules[m_idx](h, temb, train=train)
+            m_idx += 1
+            h = modules[m_idx](h)
+            m_idx += 1
+            h = modules[m_idx](h, temb, train=train)
+            m_idx += 1
+            pyramid = None
+            up_levels = range(self.num_resolutions - 1, -1, -1)
 
         # --- upsampling ----------------------------------------------------
-        pyramid = None
-        for i_level in reversed(range(self.num_resolutions)):
+        for i_level in up_levels:
+            if return_cache and i_level == cache_depth - 1:
+                return h, pyramid
             for _ in range(self.num_res_blocks + 1):
                 blk = modules[m_idx]
                 if self.split_skip and isinstance(blk, ResnetBlockBigGANpp):

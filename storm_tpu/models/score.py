@@ -230,6 +230,8 @@ class ScoreModel:
         probability_flow: bool = False,
         quant=None,
         batch_stats=None,
+        deepcache: int = 0,
+        deepcache_depth: int = 1,
         **kwargs,
     ):
         """Build a jitted enhancement program for a fixed utterance length.
@@ -240,10 +242,20 @@ class ScoreModel:
 
         `quant`: optional int8 activation-scale tree from
         `models.quant.calibrate_score_model` (serving-only TPU perf feature).
+        `deepcache`/`deepcache_depth`: deep-feature cache refresh interval /
+        recomputed top-level count (DeepCache-style serving acceleration;
+        see StochasticRegenerationModel.make_enhance).
 
         Returns `enhance(params, y, key) -> (x_hat, nfe)` for y (B, T).
         """
         del num_samples  # length is bound at trace time from y.shape
+        if deepcache:
+            if sampler_type != "pc":
+                raise ValueError("deepcache requires the pc sampler")
+            if not hasattr(self.dnn, "deep_features"):
+                raise ValueError(
+                    "deepcache requires an NCSN++-family backbone"
+                )
 
         @jax.jit
         def enhance(params, y, key):
@@ -254,6 +266,43 @@ class ScoreModel:
             def score_fn(x, t, y_sde):
                 return self.score_apply(params, x, t, y_sde, quant=quant,
                                         batch_stats=batch_stats)
+
+            cache_kwargs = {}
+            if deepcache:
+                def _score_vars():
+                    variables = {"params": params}
+                    if quant is not None:
+                        variables["quant"] = quant
+                    if batch_stats is not None:
+                        variables["batch_stats"] = batch_stats
+                    return variables
+
+                def _score_input(x):
+                    x5, squeezed = lift_spec(x)
+                    y5, _ = lift_spec(Y)
+                    return jnp.concatenate([x5, y5], axis=1), squeezed
+
+                def deep_fn(x, t):
+                    dnn_input, _ = _score_input(x)
+                    return self.dnn.apply(
+                        _score_vars(), dnn_input, t,
+                        method="deep_features", cache_depth=deepcache_depth,
+                    )
+
+                def cached_score_fn(x, t, cache):
+                    dnn_input, squeezed = _score_input(x)
+                    out = self.dnn.apply(
+                        _score_vars(), dnn_input, t,
+                        method="forward_shallow",
+                        cache=cache, cache_depth=deepcache_depth,
+                    )
+                    return -(out[:, 0] if squeezed else out)
+
+                cache_kwargs = dict(
+                    deepcache=deepcache,
+                    deep_fn=deep_fn,
+                    cached_score_fn=cached_score_fn,
+                )
 
             if sampler_type == "pc":
                 sample, nfe = pc_sample(
@@ -269,6 +318,7 @@ class ScoreModel:
                     probability_flow=probability_flow,
                     denoise=True,
                     eps=self.t_eps,
+                    **cache_kwargs,
                 )
             elif sampler_type == "ode":
                 sample, nfe = ode_sample(

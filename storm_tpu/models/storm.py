@@ -403,6 +403,8 @@ class StochasticRegenerationModel:
         denoiser_only: bool = False,
         quant=None,
         batch_stats=None,
+        deepcache: int = 0,
+        deepcache_depth: int = 1,
         **kwargs,
     ):
         """Jitted one-call enhancement (sgmse/model.py:720-780).
@@ -416,6 +418,11 @@ class StochasticRegenerationModel:
         `batch_stats`: optional {"denoiser": tree|None, "score": tree|None}
         eval-mode BatchNorm running stats (GaGNet norm_type="BN"
         checkpoints converted from torch, compat/torch_ckpt.py).
+        `deepcache`: if > 0, refresh the score net's deep-feature cache
+        every `deepcache`-th sampler step and recompute only the top
+        `deepcache_depth` U-Net levels per score evaluation (DeepCache-style
+        serving acceleration, arXiv:2312.00858; pc sampler + NCSN++-family
+        score nets only — quality measured in BASELINE.md).
 
         Returns `enhance(params, y, key) -> (x_hat, nfe)` for y (B, T).
         """
@@ -424,6 +431,15 @@ class StochasticRegenerationModel:
         q_score = (quant or {}).get("score")
         bs_den = (batch_stats or {}).get("denoiser")
         bs_score = (batch_stats or {}).get("score")
+        if deepcache:
+            if sampler_type != "pc":
+                raise ValueError("deepcache requires the pc sampler")
+            if self.score_net is not None and not hasattr(
+                self.score_net, "deep_features"
+            ):
+                raise ValueError(
+                    "deepcache requires an NCSN++-family score backbone"
+                )
 
         @jax.jit
         def enhance(params, y, key):
@@ -448,6 +464,44 @@ class StochasticRegenerationModel:
                                               quant=q_score,
                                               batch_stats=bs_score)
 
+                cache_kwargs = {}
+                if deepcache:
+                    def _score_vars():
+                        variables = {"params": params["score"]}
+                        if q_score is not None:
+                            variables["quant"] = q_score
+                        if bs_score is not None:
+                            variables["batch_stats"] = bs_score
+                        return variables
+
+                    def _score_input(x):
+                        x5, squeezed = lift_spec(x)
+                        cond5 = [lift_spec(c)[0] for c in cond]
+                        return jnp.concatenate([x5] + cond5, axis=1), squeezed
+
+                    def deep_fn(x, t):
+                        dnn_input, _ = _score_input(x)
+                        return self.score_net.apply(
+                            _score_vars(), dnn_input, t,
+                            method="deep_features",
+                            cache_depth=deepcache_depth,
+                        )
+
+                    def cached_score_fn(x, t, cache):
+                        dnn_input, squeezed = _score_input(x)
+                        out = self.score_net.apply(
+                            _score_vars(), dnn_input, t,
+                            method="forward_shallow",
+                            cache=cache, cache_depth=deepcache_depth,
+                        )
+                        return -(out[:, 0] if squeezed else out)
+
+                    cache_kwargs = dict(
+                        deepcache=deepcache,
+                        deep_fn=deep_fn,
+                        cached_score_fn=cached_score_fn,
+                    )
+
                 if sampler_type == "pc":
                     sample, n = pc_sample(
                         key,
@@ -462,6 +516,7 @@ class StochasticRegenerationModel:
                         probability_flow=probability_flow,
                         denoise=True,
                         eps=self.t_eps,
+                        **cache_kwargs,
                     )
                 elif sampler_type == "ode":
                     sample, n = ode_sample(

@@ -35,6 +35,9 @@ def pc_sample(
     denoise: bool = True,
     eps: float = 3e-2,
     intermediate: bool = False,
+    deepcache: int = 0,
+    deep_fn: Optional[Callable] = None,
+    cached_score_fn: Optional[Callable] = None,
 ):
     """Predictor-corrector sampling as a single `lax.scan`.
 
@@ -47,6 +50,16 @@ def pc_sample(
         N: reverse steps (overrides sde.N like the reference's sde.copy()).
         denoise: return the noise-free mean of the final predictor step.
         intermediate: additionally return the (N, ...) trajectory of means.
+        deepcache: if > 0, thread a deep-feature cache through the scan
+            (DeepCache-style serving acceleration, arXiv:2312.00858): the
+            cache is refreshed by `deep_fn(x, vec_t)` at the top of every
+            `deepcache`-th step and every score evaluation goes through
+            `cached_score_fn(x, vec_t, cache)`, which recomputes only the
+            top U-Net levels. With deepcache=1 and corrector='none' the
+            trajectory is exact (cache computed at the very (x, t) the
+            predictor evaluates); larger intervals trade measured quality
+            for wall-clock (see BASELINE.md).
+        deep_fn / cached_score_fn: required when deepcache > 0.
 
     Returns:
         (x, nfe) — or (x, trajectory, nfe) if intermediate.
@@ -56,25 +69,63 @@ def pc_sample(
     n = sde.N
     predictor_fn = PredictorRegistry.get_by_name(predictor)
     corrector_fn = CorrectorRegistry.get_by_name(corrector)
-    rsde = sde.reverse(score_fn, probability_flow=probability_flow)
 
     key, kprior = jax.random.split(key)
     xT = sde.prior_sampling(kprior, y)
     timesteps = jnp.linspace(sde.T, eps, n, dtype=jnp.float32)
     batch = y.shape[0]
 
-    def step(carry, t):
-        x, _, k = carry
-        k, kc, kp = jax.random.split(k, 3)
-        vec_t = jnp.full((batch,), t, dtype=jnp.float32)
-        x, x_mean = corrector_fn(
-            sde, score_fn, x, vec_t, y, kc, snr, corrector_steps
+    if deepcache:
+        if deep_fn is None or cached_score_fn is None:
+            raise ValueError(
+                "deepcache > 0 requires deep_fn and cached_score_fn"
+            )
+        cache0 = deep_fn(
+            xT, jnp.full((batch,), timesteps[0], dtype=jnp.float32)
         )
-        x, x_mean = predictor_fn(rsde, x, vec_t, y, kp)
-        out = x_mean if intermediate else None
-        return (x, x_mean, k), out
 
-    (x, x_mean, _), traj = jax.lax.scan(step, (xT, xT, key), timesteps)
+        def step(carry, it):
+            i, t = it
+            x, _, k, cch = carry
+            k, kc, kp = jax.random.split(k, 3)
+            vec_t = jnp.full((batch,), t, dtype=jnp.float32)
+            cch = jax.lax.cond(
+                jnp.logical_and(i % deepcache == 0, i > 0),
+                lambda c: deep_fn(x, vec_t),
+                lambda c: c,
+                cch,
+            )
+
+            def sf(xx, tt, yy):
+                del yy  # conditioning closed over by cached_score_fn
+                return cached_score_fn(xx, tt, cch)
+
+            rsde_c = sde.reverse(sf, probability_flow=probability_flow)
+            x, x_mean = corrector_fn(
+                sde, sf, x, vec_t, y, kc, snr, corrector_steps
+            )
+            x, x_mean = predictor_fn(rsde_c, x, vec_t, y, kp)
+            out = x_mean if intermediate else None
+            return (x, x_mean, k, cch), out
+
+        (x, x_mean, _, _), traj = jax.lax.scan(
+            step, (xT, xT, key, cache0), (jnp.arange(n), timesteps)
+        )
+    else:
+        rsde = sde.reverse(score_fn, probability_flow=probability_flow)
+
+        def step(carry, t):
+            x, _, k = carry
+            k, kc, kp = jax.random.split(k, 3)
+            vec_t = jnp.full((batch,), t, dtype=jnp.float32)
+            x, x_mean = corrector_fn(
+                sde, score_fn, x, vec_t, y, kc, snr, corrector_steps
+            )
+            x, x_mean = predictor_fn(rsde, x, vec_t, y, kp)
+            out = x_mean if intermediate else None
+            return (x, x_mean, k), out
+
+        (x, x_mean, _), traj = jax.lax.scan(step, (xT, xT, key), timesteps)
     x_result = x_mean if denoise else x
     nfe = n * (corrector_steps * (corrector != "none") + 1)
     if intermediate:

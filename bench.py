@@ -5,7 +5,10 @@ per chip at 50-step PC sampling with the reference CLI defaults
 (reverse-diffusion predictor + 1 ald corrector step -> NFE=101 NCSN++
 forwards per utterance, enhancement.py:33-36). Serving runs the production
 configuration: W8A8 int8 PTQ convs (quality-neutral, BASELINE.md "int8
-quality parity"); `--quant none` measures bf16 serving.
+quality parity") + deep-feature caching at interval 3 (measured
+quality-SUPERIOR to the exact trajectory on the converged production-width
+model, BASELINE.md deepcache table). `--quant none` measures bf16;
+`--deepcache 0` measures the exact reference trajectory.
 
 `vs_baseline` is the ratio against the driver's north-star target of
 10x real-time per chip (BASELINE.json).
@@ -52,14 +55,14 @@ def main():
                     help="serving quantization (default int8 W8A8 PTQ — "
                     "quality-neutral on a converged model, see BASELINE.md "
                     "int8 quality parity table; 'none' = bf16 serving)")
-    ap.add_argument("--deepcache", type=int, default=None,
+    ap.add_argument("--deepcache", type=int, default=3,
                     help="deep-feature cache refresh interval "
-                    "(DeepCache-style, arXiv:2312.00858; BASELINE.md "
-                    "quality table). Default: production serving config")
+                    "(DeepCache-style, arXiv:2312.00858). Default 3 = "
+                    "production serving config — measured quality-superior "
+                    "to the exact trajectory on the converged production-"
+                    "width model (BASELINE.md deepcache table); 0 = exact")
     ap.add_argument("--deepcache_depth", type=int, default=1)
     args = ap.parse_args()
-    if args.deepcache is None:
-        args.deepcache = 0
 
     from storm_tpu.utils.jaxcache import enable_jax_compilation_cache
     enable_jax_compilation_cache()

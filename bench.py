@@ -206,6 +206,7 @@ def main():
             "storm_default_nfe31_audio_sec_per_sec": nfe31,
             "quant": args.quant,
             "deepcache": args.deepcache,
+            "deepcache_depth": args.deepcache_depth,
         },
     }))
 

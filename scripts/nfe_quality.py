@@ -143,6 +143,12 @@ def main():
     if args.deepcache:
         configs = [(nm, kw) for nm, kw in configs
                    if kw.get("sampler_type") == "pc"]
+    if not configs:
+        raise SystemExit(
+            "no configs selected (--configs filter"
+            + (" + --deepcache pc-only filter" if args.deepcache else "")
+            + " matched nothing)"
+        )
 
     results = []
     for name, kw in configs:

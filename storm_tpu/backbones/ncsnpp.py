@@ -95,6 +95,9 @@ class NCSNpp(fnn.Module):
     split_skip: bool = True
 
     FORCE_STFT_OUT = False
+    # deep-feature cache split supported (deep_features/forward_shallow
+    # operate on the 2-D spectrogram trunk directly)
+    SUPPORTS_DEEPCACHE = True
 
     @classmethod
     def from_kwargs(cls, **kwargs):
@@ -640,6 +643,9 @@ class AutoEncodeNCSNpp(NCSNpp):
     discriminative: bool = True
 
     FORCE_STFT_OUT = True
+    # __call__ wraps the trunk in a waveform Conv1d encoder/decoder that
+    # the inherited deep_features/forward_shallow split would bypass
+    SUPPORTS_DEEPCACHE = False
 
     @property
     def eff_input_channels(self) -> int:

@@ -102,6 +102,53 @@ def lift_spec(Y):
     raise ValueError(f"expected (B,F,T,2) or (B,D,F,T,2) spec, got {Y.shape}")
 
 
+def make_deepcache_fns(net, get_variables, pack_input, cache_depth: int):
+    """Build the (deep_fn, cached_score_fn) pair `pc_sample(deepcache=K)`
+    consumes — the ONE place encoding the cached score evaluation's
+    contract (input packing, variables dict, `-out` sign, squeeze), shared
+    by ScoreModel and StochasticRegenerationModel so the
+    deepcache==exact-trajectory invariant cannot drift per model class.
+
+    Args:
+        net: NCSN++-family flax module (must expose deep_features /
+            forward_shallow and set SUPPORTS_DEEPCACHE).
+        get_variables: () -> flax variables dict ({"params", "quant"?,
+            "batch_stats"?}).
+        pack_input: x -> (dnn_input, squeezed) — the model's score-input
+            concat (x plus closed-over conditioning).
+    """
+
+    def deep_fn(x, t):
+        dnn_input, _ = pack_input(x)
+        return net.apply(
+            get_variables(), dnn_input, t,
+            method="deep_features", cache_depth=cache_depth,
+        )
+
+    def cached_score_fn(x, t, cache):
+        dnn_input, squeezed = pack_input(x)
+        out = net.apply(
+            get_variables(), dnn_input, t,
+            method="forward_shallow", cache=cache, cache_depth=cache_depth,
+        )
+        return -(out[:, 0] if squeezed else out)
+
+    return deep_fn, cached_score_fn
+
+
+def check_deepcache_config(net, deepcache: int, sampler_type: str):
+    """Validate a make_enhance deepcache request with clear errors."""
+    if deepcache < 0:
+        raise ValueError(f"deepcache must be >= 0, got {deepcache}")
+    if sampler_type != "pc":
+        raise ValueError("deepcache requires the pc sampler")
+    if net is not None and not getattr(net, "SUPPORTS_DEEPCACHE", False):
+        raise ValueError(
+            "deepcache requires an NCSN++-family (2-D U-Net) backbone; "
+            f"{type(net).__name__} does not support the cache split"
+        )
+
+
 def prepare_spec(y, stft_config: STFTConfig, transform: SpecTransform,
                  multiple: int = 64):
     """wav (B, T) -> (Y_padded, num_frames_orig): compressed spec with the

@@ -250,12 +250,9 @@ class ScoreModel:
         """
         del num_samples  # length is bound at trace time from y.shape
         if deepcache:
-            if sampler_type != "pc":
-                raise ValueError("deepcache requires the pc sampler")
-            if not hasattr(self.dnn, "deep_features"):
-                raise ValueError(
-                    "deepcache requires an NCSN++-family backbone"
-                )
+            from .base import check_deepcache_config
+
+            check_deepcache_config(self.dnn, deepcache, sampler_type)
 
         @jax.jit
         def enhance(params, y, key):
@@ -269,6 +266,8 @@ class ScoreModel:
 
             cache_kwargs = {}
             if deepcache:
+                from .base import make_deepcache_fns
+
                 def _score_vars():
                     variables = {"params": params}
                     if quant is not None:
@@ -282,22 +281,9 @@ class ScoreModel:
                     y5, _ = lift_spec(Y)
                     return jnp.concatenate([x5, y5], axis=1), squeezed
 
-                def deep_fn(x, t):
-                    dnn_input, _ = _score_input(x)
-                    return self.dnn.apply(
-                        _score_vars(), dnn_input, t,
-                        method="deep_features", cache_depth=deepcache_depth,
-                    )
-
-                def cached_score_fn(x, t, cache):
-                    dnn_input, squeezed = _score_input(x)
-                    out = self.dnn.apply(
-                        _score_vars(), dnn_input, t,
-                        method="forward_shallow",
-                        cache=cache, cache_depth=deepcache_depth,
-                    )
-                    return -(out[:, 0] if squeezed else out)
-
+                deep_fn, cached_score_fn = make_deepcache_fns(
+                    self.dnn, _score_vars, _score_input, deepcache_depth,
+                )
                 cache_kwargs = dict(
                     deepcache=deepcache,
                     deep_fn=deep_fn,

@@ -432,14 +432,9 @@ class StochasticRegenerationModel:
         bs_den = (batch_stats or {}).get("denoiser")
         bs_score = (batch_stats or {}).get("score")
         if deepcache:
-            if sampler_type != "pc":
-                raise ValueError("deepcache requires the pc sampler")
-            if self.score_net is not None and not hasattr(
-                self.score_net, "deep_features"
-            ):
-                raise ValueError(
-                    "deepcache requires an NCSN++-family score backbone"
-                )
+            from .base import check_deepcache_config
+
+            check_deepcache_config(self.score_net, deepcache, sampler_type)
 
         @jax.jit
         def enhance(params, y, key):
@@ -466,6 +461,8 @@ class StochasticRegenerationModel:
 
                 cache_kwargs = {}
                 if deepcache:
+                    from .base import make_deepcache_fns
+
                     def _score_vars():
                         variables = {"params": params["score"]}
                         if q_score is not None:
@@ -479,23 +476,10 @@ class StochasticRegenerationModel:
                         cond5 = [lift_spec(c)[0] for c in cond]
                         return jnp.concatenate([x5] + cond5, axis=1), squeezed
 
-                    def deep_fn(x, t):
-                        dnn_input, _ = _score_input(x)
-                        return self.score_net.apply(
-                            _score_vars(), dnn_input, t,
-                            method="deep_features",
-                            cache_depth=deepcache_depth,
-                        )
-
-                    def cached_score_fn(x, t, cache):
-                        dnn_input, squeezed = _score_input(x)
-                        out = self.score_net.apply(
-                            _score_vars(), dnn_input, t,
-                            method="forward_shallow",
-                            cache=cache, cache_depth=deepcache_depth,
-                        )
-                        return -(out[:, 0] if squeezed else out)
-
+                    deep_fn, cached_score_fn = make_deepcache_fns(
+                        self.score_net, _score_vars, _score_input,
+                        deepcache_depth,
+                    )
                     cache_kwargs = dict(
                         deepcache=deepcache,
                         deep_fn=deep_fn,

@@ -75,20 +75,34 @@ def pc_sample(
     timesteps = jnp.linspace(sde.T, eps, n, dtype=jnp.float32)
     batch = y.shape[0]
 
-    if deepcache:
-        if deep_fn is None or cached_score_fn is None:
-            raise ValueError(
-                "deepcache > 0 requires deep_fn and cached_score_fn"
-            )
-        cache0 = deep_fn(
-            xT, jnp.full((batch,), timesteps[0], dtype=jnp.float32)
-        )
+    if deepcache < 0:
+        raise ValueError(f"deepcache must be >= 0, got {deepcache}")
+    if deepcache and (deep_fn is None or cached_score_fn is None):
+        raise ValueError("deepcache > 0 requires deep_fn and cached_score_fn")
+    rsde = (
+        None if deepcache
+        else sde.reverse(score_fn, probability_flow=probability_flow)
+    )
 
-        def step(carry, it):
+    # ONE step body for both modes — the key-split / corrector / predictor
+    # sequencing must never diverge between the cached and exact paths
+    # (tests assert deepcache=1 + corrector='none' == vanilla bit-for-bit)
+    def step(carry, it):
+        if deepcache:
             i, t = it
             x, _, k, cch = carry
-            k, kc, kp = jax.random.split(k, 3)
-            vec_t = jnp.full((batch,), t, dtype=jnp.float32)
+        else:
+            t = it
+            x, _, k = carry
+        k, kc, kp = jax.random.split(k, 3)
+        vec_t = jnp.full((batch,), t, dtype=jnp.float32)
+        if deepcache:
+            # NOTE: the refresh recomputes the deep trunk (~0.70x a full
+            # eval) and the following corrector/predictor eval recomputes
+            # the top level (~0.36x) at the same (x, t); a fused
+            # full-forward-that-also-emits-the-cache would save ~2% per
+            # refresh at K=3 but requires threading the cache out of the
+            # corrector — not worth the API break (BASELINE.md cost model).
             cch = jax.lax.cond(
                 jnp.logical_and(i % deepcache == 0, i > 0),
                 lambda c: deep_fn(x, vec_t),
@@ -100,31 +114,25 @@ def pc_sample(
                 del yy  # conditioning closed over by cached_score_fn
                 return cached_score_fn(xx, tt, cch)
 
-            rsde_c = sde.reverse(sf, probability_flow=probability_flow)
-            x, x_mean = corrector_fn(
-                sde, sf, x, vec_t, y, kc, snr, corrector_steps
-            )
-            x, x_mean = predictor_fn(rsde_c, x, vec_t, y, kp)
-            out = x_mean if intermediate else None
-            return (x, x_mean, k, cch), out
+            rsde_step = sde.reverse(sf, probability_flow=probability_flow)
+        else:
+            sf, rsde_step = score_fn, rsde
+        x, x_mean = corrector_fn(
+            sde, sf, x, vec_t, y, kc, snr, corrector_steps
+        )
+        x, x_mean = predictor_fn(rsde_step, x, vec_t, y, kp)
+        out = x_mean if intermediate else None
+        carry = (x, x_mean, k, cch) if deepcache else (x, x_mean, k)
+        return carry, out
 
+    if deepcache:
+        cache0 = deep_fn(
+            xT, jnp.full((batch,), timesteps[0], dtype=jnp.float32)
+        )
         (x, x_mean, _, _), traj = jax.lax.scan(
             step, (xT, xT, key, cache0), (jnp.arange(n), timesteps)
         )
     else:
-        rsde = sde.reverse(score_fn, probability_flow=probability_flow)
-
-        def step(carry, t):
-            x, _, k = carry
-            k, kc, kp = jax.random.split(k, 3)
-            vec_t = jnp.full((batch,), t, dtype=jnp.float32)
-            x, x_mean = corrector_fn(
-                sde, score_fn, x, vec_t, y, kc, snr, corrector_steps
-            )
-            x, x_mean = predictor_fn(rsde, x, vec_t, y, kp)
-            out = x_mean if intermediate else None
-            return (x, x_mean, k), out
-
         (x, x_mean, _), traj = jax.lax.scan(step, (xT, xT, key), timesteps)
     x_result = x_mean if denoise else x
     nfe = n * (corrector_steps * (corrector != "none") + 1)

@@ -161,3 +161,17 @@ def test_deepcache_rejects_unsupported():
     model = _tiny_storm()
     with pytest.raises(ValueError):
         model.make_enhance(0, sampler_type="ode", deepcache=2)
+    with pytest.raises(ValueError):
+        model.make_enhance(0, deepcache=-1)
+
+
+def test_deepcache_rejects_ae_ncsnpp():
+    """ae-ncsnpp inherits deep_features but its waveform encoder/decoder
+    wrapper bypasses the cache split — must be rejected cleanly, not die
+    with a shape error at trace time."""
+    model = ScoreModel.create(
+        backbone="ae-ncsnpp", sde="ouve", nf=16, ch_mult=(1, 2),
+        image_size=32,
+    )
+    with pytest.raises(ValueError, match="does not support"):
+        model.make_enhance(0, deepcache=2)

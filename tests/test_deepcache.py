@@ -157,6 +157,40 @@ def test_scoremodel_deepcache():
     )
 
 
+def test_deepcache_streaming_composition():
+    """The production long-form path composes stream_enhance over a
+    deepcache BucketedEnhancer (enhancement.py --stream_chunk_s +
+    --deepcache). With interval=1 + corrector='none' the cached program
+    is exact, so the composed result must equal the non-cached streaming
+    result on the same keys/chunking."""
+    from storm_tpu.utils.inference import BucketedEnhancer
+    from storm_tpu.utils.streaming import stream_enhance
+
+    model = _tiny_storm()
+    params = model.init_params(jax.random.PRNGKey(0), (1, 32, 16))
+    T = 6000
+    y = (0.1 * np.random.default_rng(3).standard_normal(T)).astype(
+        np.float32
+    )
+    kwargs = dict(chunk_samples=2048, overlap_samples=512, max_batch=4)
+
+    base = BucketedEnhancer(
+        model, params, minibatch=4, N=3, corrector="none", bucket_frames=16
+    )
+    x0, nfe0 = stream_enhance(base, y, jax.random.PRNGKey(4), **kwargs)
+
+    dc = BucketedEnhancer(
+        model, params, minibatch=4, N=3, corrector="none", bucket_frames=16,
+        deepcache=1,
+    )
+    x1, nfe1 = stream_enhance(dc, y, jax.random.PRNGKey(4), **kwargs)
+
+    assert x1.shape == y.shape and int(nfe0) == int(nfe1)
+    np.testing.assert_allclose(
+        np.asarray(x1), np.asarray(x0), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_deepcache_rejects_unsupported():
     model = _tiny_storm()
     with pytest.raises(ValueError):

@@ -51,6 +51,9 @@ def main():
                     "standard TPU runtimes")
     ap.add_argument("--nf", type=int, default=None,
                     help="override backbone width (default: full 27.8M)")
+    ap.add_argument("--backbone", default="ncsnpp",
+                    help="registered backbone name for BOTH denoiser and "
+                    "score nets (e.g. ncsnpplarge for the 65M config)")
     ap.add_argument("--quant", default="int8", choices=["none", "int8"],
                     help="serving quantization (default int8 W8A8 PTQ — "
                     "quality-neutral on a converged model, see BASELINE.md "
@@ -64,6 +67,13 @@ def main():
     ap.add_argument("--deepcache_depth", type=int, default=1)
     args = ap.parse_args()
 
+    # honor the CPU-test platform override like every other CLI
+    # (train.py/evaluate.py/enhancement.py) — the sitecustomize preload
+    # latches the tunneled-TPU backend otherwise
+    import os
+    if os.environ.get("STORM_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["STORM_TPU_PLATFORM"])
+
     from storm_tpu.utils.jaxcache import enable_jax_compilation_cache
     enable_jax_compilation_cache()
     from storm_tpu.models import StochasticRegenerationModel
@@ -71,8 +81,8 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     extra = {"nf": args.nf} if args.nf else {}
     model = StochasticRegenerationModel.create(
-        backbone_denoiser="ncsnpp", backbone_score="ncsnpp", sde="ouve",
-        dtype=dtype, **extra,
+        backbone_denoiser=args.backbone, backbone_score=args.backbone,
+        sde="ouve", dtype=dtype, **extra,
     )
 
     import contextlib
@@ -207,6 +217,7 @@ def main():
             "quant": args.quant,
             "deepcache": args.deepcache,
             "deepcache_depth": args.deepcache_depth,
+            "backbone": args.backbone,
         },
     }))
 

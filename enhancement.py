@@ -83,7 +83,8 @@ def main():
                         help="crossfaded overlap between streaming chunks")
     parser.add_argument("--deepcache", type=int, default=0,
                         help="deep-feature cache refresh interval for the "
-                        "pc sampler (DeepCache-style, arXiv:2312.00858): "
+                        "pc/ode samplers (DeepCache-style, "
+                        "arXiv:2312.00858): "
                         "refresh the score net's deep U-Net features every "
                         "K steps and recompute only the top levels per "
                         "score eval. 0 = off (exact reference trajectory); "

@@ -57,8 +57,9 @@ def main():
     ap.add_argument("--quant_min_channels", type=int, default=128,
                     help="int8 coverage threshold (see enhancement.py)")
     ap.add_argument("--deepcache", type=int, default=0,
-                    help="deep-feature cache refresh interval for the pc "
-                    "sampler (DeepCache-style, arXiv:2312.00858); 0 = off")
+                    help="deep-feature cache refresh interval for the "
+                    "pc/ode samplers (DeepCache-style, arXiv:2312.00858); "
+                    "0 = off")
     ap.add_argument("--deepcache_depth", type=int, default=1)
     ap.add_argument("--no-ema", action="store_true")
     ap.add_argument("--csv", default=None, help="write per-file metrics here")

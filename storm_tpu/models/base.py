@@ -140,8 +140,12 @@ def check_deepcache_config(net, deepcache: int, sampler_type: str):
     """Validate a make_enhance deepcache request with clear errors."""
     if deepcache < 0:
         raise ValueError(f"deepcache must be >= 0, got {deepcache}")
-    if sampler_type != "pc":
-        raise ValueError("deepcache requires the pc sampler")
+    if sampler_type not in ("pc", "ode"):
+        raise ValueError(
+            "deepcache requires the pc or ode sampler (picard folds time "
+            "into the batch axis — an N-point per-step cache would defeat "
+            f"the memory saving); got {sampler_type!r}"
+        )
     if net is not None and not getattr(net, "SUPPORTS_DEEPCACHE", False):
         raise ValueError(
             "deepcache requires an NCSN++-family (2-D U-Net) backbone; "

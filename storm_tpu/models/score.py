@@ -308,7 +308,8 @@ class ScoreModel:
                 )
             elif sampler_type == "ode":
                 sample, nfe = ode_sample(
-                    key, self.sde, score_fn, Y, N=N, eps=self.t_eps, **kwargs
+                    key, self.sde, score_fn, Y, N=N, eps=self.t_eps,
+                    **cache_kwargs, **kwargs,
                 )
             elif sampler_type == "picard":
                 sample, nfe = picard_sample(

@@ -505,7 +505,7 @@ class StochasticRegenerationModel:
                 elif sampler_type == "ode":
                     sample, n = ode_sample(
                         key, self.sde, score_fn, Y_denoised,
-                        N=N, eps=self.t_eps, **kwargs,
+                        N=N, eps=self.t_eps, **cache_kwargs, **kwargs,
                     )
                 elif sampler_type == "picard":
                     # parallel-in-time probability flow (latency lever for

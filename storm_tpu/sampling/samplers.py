@@ -150,6 +150,9 @@ def ode_sample(
     method: str = "heun",
     denoise: bool = True,
     eps: float = 3e-2,
+    deepcache: int = 0,
+    deep_fn: Optional[Callable] = None,
+    cached_score_fn: Optional[Callable] = None,
     **ignored_kwargs,
 ):
     """Probability-flow ODE sampling, fully on device.
@@ -167,54 +170,80 @@ def ode_sample(
     fewer score evaluations than Euler/Heun at these step counts. OUVE only
     (constant linear coefficient).
 
+    `deepcache`: as in `pc_sample` — the deep-feature cache is refreshed at
+    the step's own (x, t0) every `deepcache`-th step and every score
+    evaluation inside the step (including Heun/RK4/ETD2 intermediate stages)
+    goes through `cached_score_fn`. With deepcache=1 the SINGLE-evaluation
+    methods (euler, etd1) reproduce the vanilla trajectory bit-for-bit; the
+    multi-stage methods evaluate their later stages at (x_pred, t1) against
+    a cache from (x, t0), so they stay approximations at every interval.
+    `etd2-ms` is not supported (its one eval per step feeds the NEXT step's
+    extrapolation, so a stale cache compounds across the whole multistep
+    history rather than one interval — use etd2).
+
     Returns:
         (x, nfe)
     """
     if N is not None and N != sde.N:
         sde = sde.copy(N=N)
     n = sde.N
-    rsde = sde.reverse(score_fn, probability_flow=True)
     batch = y.shape[0]
+
+    if deepcache < 0:
+        raise ValueError(f"deepcache must be >= 0, got {deepcache}")
+    if deepcache and (deep_fn is None or cached_score_fn is None):
+        raise ValueError("deepcache > 0 requires deep_fn and cached_score_fn")
+    if deepcache and method == "etd2-ms":
+        raise ValueError(
+            "deepcache does not support the multistep 'etd2-ms' method "
+            "(stale features would compound through the AB2 history); "
+            "use method='etd2'"
+        )
 
     key, kprior = jax.random.split(key)
     x0 = sde.prior_sampling(kprior, y)
     ts = jnp.linspace(sde.T, eps, n + 1, dtype=jnp.float32)
 
-    def drift(x, t):
+    def drift(sf, x, t):
         vec_t = jnp.full((batch,), t, dtype=jnp.float32)
+        rsde = sde.reverse(sf, probability_flow=True)
         return rsde.sde(x, vec_t, y)[0]
 
+    # Each method is a step body over (sf, x, i) with sf the score closure
+    # for THIS step — the exact `score_fn` normally, or the cached-features
+    # closure under deepcache. One body serves both modes (the pc_sample
+    # pattern: the integrator math must never diverge between paths).
     if method == "euler":
         nfe_per_step = 1
 
-        def step(x, i):
+        def step_core(sf, x, i):
             t0, t1 = ts[i], ts[i + 1]
             dt = t1 - t0
-            return x + dt * drift(x, t0), None
+            return x + dt * drift(sf, x, t0)
 
     elif method == "heun":
         nfe_per_step = 2
 
-        def step(x, i):
+        def step_core(sf, x, i):
             t0, t1 = ts[i], ts[i + 1]
             dt = t1 - t0
-            d0 = drift(x, t0)
+            d0 = drift(sf, x, t0)
             x_pred = x + dt * d0
-            d1 = drift(x_pred, t1)
-            return x + dt * 0.5 * (d0 + d1), None
+            d1 = drift(sf, x_pred, t1)
+            return x + dt * 0.5 * (d0 + d1)
 
     elif method == "rk4":
         nfe_per_step = 4
 
-        def step(x, i):
+        def step_core(sf, x, i):
             t0, t1 = ts[i], ts[i + 1]
             dt = t1 - t0
             tm = t0 + 0.5 * dt
-            k1 = drift(x, t0)
-            k2 = drift(x + 0.5 * dt * k1, tm)
-            k3 = drift(x + 0.5 * dt * k2, tm)
-            k4 = drift(x + dt * k3, t1)
-            return x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4), None
+            k1 = drift(sf, x, t0)
+            k2 = drift(sf, x + 0.5 * dt * k1, tm)
+            k3 = drift(sf, x + 0.5 * dt * k2, tm)
+            k4 = drift(sf, x + dt * k3, t1)
+            return x + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
 
     elif method in ("etd1", "etd2", "etd2-ms"):
         # dx/dt = a x + N(x, t) with a = -theta (OUVE linear part),
@@ -227,35 +256,35 @@ def ode_sample(
         theta = sde.theta
         a = -theta
 
-        def nonlinear(x, t):
+        def nonlinear(sf, x, t):
             vec_t = jnp.full((batch,), t, dtype=jnp.float32)
             _, g = sde.sde(x, vec_t, y)
             g2 = right_pad_dims_local(jnp.asarray(g) ** 2, x)
-            return theta * y - 0.5 * g2 * score_fn(x, vec_t, y)
+            return theta * y - 0.5 * g2 * sf(x, vec_t, y)
 
         if method == "etd1":
             nfe_per_step = 1
 
-            def step(x, i):
+            def step_core(sf, x, i):
                 t0, t1 = ts[i], ts[i + 1]
                 dt = t1 - t0
                 ea = jnp.exp(a * dt)
                 phi1 = (ea - 1.0) / a
-                return ea * x + phi1 * nonlinear(x, t0), None
+                return ea * x + phi1 * nonlinear(sf, x, t0)
 
         elif method == "etd2":  # Cox-Matthews ETD2RK
             nfe_per_step = 2
 
-            def step(x, i):
+            def step_core(sf, x, i):
                 t0, t1 = ts[i], ts[i + 1]
                 dt = t1 - t0
                 ea = jnp.exp(a * dt)
                 phi1 = (ea - 1.0) / a
-                n0 = nonlinear(x, t0)
+                n0 = nonlinear(sf, x, t0)
                 x_pred = ea * x + phi1 * n0
-                n1 = nonlinear(x_pred, t1)
+                n1 = nonlinear(sf, x_pred, t1)
                 phi2 = (ea - 1.0 - a * dt) / (a * a * dt)
-                return x_pred + phi2 * (n1 - n0), None
+                return x_pred + phi2 * (n1 - n0)
 
         else:  # etd2-ms: exponential Adams-Bashforth-2 multistep
             # Variation of constants with a linear-in-time extrapolation of
@@ -268,14 +297,14 @@ def ode_sample(
             phi1 = (ea - 1.0) / a
             phi2 = (ea - 1.0 - a * dt) / (a * a * dt)
 
-            n0 = nonlinear(x0, ts[0])
+            n0 = nonlinear(score_fn, x0, ts[0])
             x_pred = ea * x0 + phi1 * n0
-            n1 = nonlinear(x_pred, ts[1])
+            n1 = nonlinear(score_fn, x_pred, ts[1])
             x1 = x_pred + phi2 * (n1 - n0)
 
             def ms_step(carry, i):
                 x, n_prev = carry
-                nk = nonlinear(x, ts[i])
+                nk = nonlinear(score_fn, x, ts[i])
                 x_next = ea * x + phi1 * nk + phi2 * (nk - n_prev)
                 return (x_next, nk), None
 
@@ -286,7 +315,34 @@ def ode_sample(
         raise ValueError(f"Unknown ODE method {method!r}")
 
     if method != "etd2-ms":
-        x, _ = jax.lax.scan(step, x0, jnp.arange(n))
+        if deepcache:
+            cache0 = deep_fn(
+                x0, jnp.full((batch,), ts[0], dtype=jnp.float32)
+            )
+
+            def step(carry, i):
+                x, cch = carry
+                vec_t = jnp.full((batch,), ts[i], dtype=jnp.float32)
+                cch = jax.lax.cond(
+                    jnp.logical_and(i % deepcache == 0, i > 0),
+                    lambda c: deep_fn(x, vec_t),
+                    lambda c: c,
+                    cch,
+                )
+
+                def sf(xx, tt, yy):
+                    del yy  # conditioning closed over by cached_score_fn
+                    return cached_score_fn(xx, tt, cch)
+
+                return (step_core(sf, x, i), cch), None
+
+            (x, _), _ = jax.lax.scan(step, (x0, cache0), jnp.arange(n))
+        else:
+
+            def step(x, i):
+                return step_core(score_fn, x, i), None
+
+            x, _ = jax.lax.scan(step, x0, jnp.arange(n))
         nfe = n * nfe_per_step
 
     if denoise:

@@ -193,10 +193,68 @@ def test_deepcache_streaming_composition():
 
 def test_deepcache_rejects_unsupported():
     model = _tiny_storm()
-    with pytest.raises(ValueError):
-        model.make_enhance(0, sampler_type="ode", deepcache=2)
+    with pytest.raises(ValueError, match="pc or ode"):
+        model.make_enhance(0, sampler_type="picard", deepcache=2)
     with pytest.raises(ValueError):
         model.make_enhance(0, deepcache=-1)
+
+
+@pytest.mark.parametrize("method", ["euler", "etd1"])
+def test_ode_deepcache1_single_eval_methods_exact(method):
+    """Single-evaluation ODE methods with interval=1: every drift eval uses
+    a cache refreshed at its own (x, t0) — identical trajectory to the
+    exact ODE sampler (final denoise step always uses the exact score)."""
+    model = _tiny_storm()
+    params = model.init_params(jax.random.PRNGKey(0), (1, 32, 16))
+    T = 15 * 128
+    y = np.random.default_rng(4).standard_normal((1, T)).astype(np.float32)
+    y = jnp.asarray(0.1 * y)
+    key = jax.random.PRNGKey(11)
+
+    base = model.make_enhance(T, sampler_type="ode", N=4, method=method)
+    cached = model.make_enhance(
+        T, sampler_type="ode", N=4, method=method, deepcache=1
+    )
+    x0, nfe0 = base(params, y, key)
+    x1, nfe1 = cached(params, y, key)
+    assert int(nfe0) == int(nfe1)
+    np.testing.assert_allclose(
+        np.asarray(x1), np.asarray(x0), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_ode_deepcache_heun_interval_runs_close():
+    model = _tiny_storm()
+    params = model.init_params(jax.random.PRNGKey(0), (1, 32, 16))
+    T = 15 * 128
+    y = np.random.default_rng(6).standard_normal((1, T)).astype(np.float32)
+    y = jnp.asarray(0.1 * y)
+    key = jax.random.PRNGKey(12)
+
+    base = model.make_enhance(T, sampler_type="ode", N=6, method="heun")
+    cached = model.make_enhance(
+        T, sampler_type="ode", N=6, method="heun", deepcache=3
+    )
+    x0, _ = base(params, y, key)
+    x1, nfe = cached(params, y, key)
+    assert x1.shape == y.shape
+    assert np.isfinite(np.asarray(x1)).all()
+    assert int(nfe) == 1 + 6 * 2 + 1  # denoiser + N heun steps x2 + denoise
+    ref = np.asarray(x0)
+    err = np.linalg.norm(np.asarray(x1) - ref) / np.linalg.norm(ref)
+    assert err < 0.5, err
+
+
+def test_ode_deepcache_rejects_etd2ms():
+    model = _tiny_storm()
+    params = model.init_params(jax.random.PRNGKey(0), (1, 32, 16))
+    T = 15 * 128
+    y = jnp.zeros((1, T), jnp.float32)
+    enhance = model.make_enhance(
+        T, sampler_type="ode", N=4, method="etd2-ms", deepcache=2
+    )
+    with pytest.raises(ValueError, match="etd2-ms"):
+        enhance(params, y, jax.random.PRNGKey(0))
 
 
 def test_deepcache_rejects_ae_ncsnpp():

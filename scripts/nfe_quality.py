@@ -66,9 +66,9 @@ def main():
                     help="comma-separated substrings: only run configs "
                     "whose name matches one (e.g. 'pc N=30,pc N=50 ald')")
     ap.add_argument("--deepcache", type=int, default=0,
-                    help="deep-feature cache refresh interval for pc "
-                    "configs (DeepCache-style; ode/picard configs are "
-                    "skipped when set)")
+                    help="deep-feature cache refresh interval for pc/ode "
+                    "configs (DeepCache-style; etd2-ms and picard configs "
+                    "are skipped when set — no cache support)")
     ap.add_argument("--deepcache_depth", type=int, default=1)
     args = ap.parse_args()
 
@@ -141,12 +141,15 @@ def main():
                    if any(p in nm for p in pats)]
 
     if args.deepcache:
+        # pc + ode support the cache; etd2-ms/picard do not (samplers.py)
         configs = [(nm, kw) for nm, kw in configs
-                   if kw.get("sampler_type") == "pc"]
+                   if kw.get("sampler_type") in ("pc", "ode")
+                   and kw.get("method") != "etd2-ms"]
     if not configs:
         raise SystemExit(
             "no configs selected (--configs filter"
-            + (" + --deepcache pc-only filter" if args.deepcache else "")
+            + (" + --deepcache supported-sampler filter"
+               if args.deepcache else "")
             + " matched nothing)"
         )
 

@@ -91,3 +91,24 @@ def test_evaluate_metrics_and_wer(timit_tree, tiny_ckpt, tmp_path):
     # signal metrics finite (PESQ NaN is expected in this image)
     assert np.isfinite(float(by_file["u0.wav"]["si_sdr"]))
     assert np.isfinite(float(by_file["u0.wav"]["estoi"]))
+
+
+def test_evaluate_deepcache_serving_config(timit_tree, tiny_ckpt, tmp_path):
+    """The production serving acceleration must be quality-evaluable
+    through the official eval CLI (VERDICT round-2 Weak #3 analogue for
+    --deepcache): run the cached config end to end and get finite
+    metrics."""
+    csv_path = tmp_path / "results_dc.csv"
+    out = _run([
+        "--ckpt", tiny_ckpt, "--mode", "storm",
+        "--base_dir", str(timit_tree), "--format", "timit",
+        "--N", "3", "--corrector", "none", "--batch", "2",
+        "--deepcache", "1", "--csv", str(csv_path),
+    ])
+    assert "si_sdr:" in out and "estoi:" in out
+
+    import csv as csv_mod
+
+    rows = list(csv_mod.DictReader(open(csv_path)))
+    assert len(rows) == 2
+    assert all(np.isfinite(float(r["si_sdr"])) for r in rows)

@@ -1,0 +1,231 @@
+"""Online enhancement server: HTTP front end with dynamic batching.
+
+Beyond-reference production-serving surface (the reference only enhances
+file-to-file, enhancement.py:43-72). POST a 16 kHz WAV to /enhance and get
+the enhanced WAV back; concurrent requests are coalesced into padded-
+length-bucket batches (storm_tpu/utils/server.py) so the chip runs the
+batched program from BASELINE.md's throughput tables. Serving knobs match
+enhancement.py (sampler/NFE/int8/deepcache); stdlib HTTP only — no extra
+dependencies.
+
+    python serve.py --ckpt <ckpt> --mode storm --quant int8 --deepcache 3 \
+        --calib_dir noisy/ --port 8571
+    curl -s --data-binary @noisy.wav localhost:8571/enhance > clean.wav
+
+Endpoints:
+    POST /enhance   WAV in -> WAV out (X-NFE / X-RTF response headers)
+    GET  /healthz   readiness + serving configuration
+    GET  /stats     request/batch counters, served audio seconds, RTF
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def build_argparser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--mode", required=True,
+                   choices=["score-only", "denoiser-only", "storm"])
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8571)
+    p.add_argument("--batch", type=int, default=8,
+                   help="max dynamic batch size per bucket")
+    p.add_argument("--max_wait_ms", type=float, default=100.0,
+                   help="linger: max queueing wait before a partial batch "
+                   "is dispatched")
+    p.add_argument("--warmup_s", type=float, default=0.0,
+                   help="pre-compile the bucket covering this many seconds "
+                   "of audio before accepting traffic (0 = lazy)")
+    p.add_argument("--seed", type=int, default=0)
+    # sampler/serving knobs, same names and defaults as enhancement.py
+    p.add_argument("--sampler", choices=("pc", "ode"), default="pc")
+    p.add_argument("--predictor", default="reverse_diffusion",
+                   choices=("reverse_diffusion", "euler_maruyama", "etd",
+                            "none"))
+    p.add_argument("--corrector", choices=("ald", "langevin", "none"),
+                   default="ald")
+    p.add_argument("--corrector-steps", dest="corrector_steps", type=int,
+                   default=1)
+    p.add_argument("--snr", type=float, default=0.5)
+    p.add_argument("--N", type=int, default=50)
+    p.add_argument("--ode-method", dest="ode_method", default="etd2",
+                   choices=("euler", "heun", "rk4", "etd1", "etd2",
+                            "etd2-ms"))
+    p.add_argument("--no-ema", action="store_true")
+    p.add_argument("--quant", default=None, choices=("int8",))
+    p.add_argument("--quant_min_channels", type=int, default=128)
+    p.add_argument("--calib_dir", default=None,
+                   help="directory of representative noisy wavs for int8 "
+                   "calibration (required with --quant int8 unless scales "
+                   "are already cached at the checkpoint)")
+    p.add_argument("--deepcache", type=int, default=0)
+    p.add_argument("--deepcache_depth", type=int, default=1)
+    return p
+
+
+def make_handler(batcher, info, model_sr=16000):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet access log
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", **info})
+            elif self.path == "/stats":
+                with batcher._lock:
+                    s = dict(batcher.stats)
+                audio_s = s.pop("audio_samples") / model_sr
+                s["audio_s"] = round(audio_s, 3)
+                s["rtf"] = round(s["device_s"] / audio_s, 4) if audio_s else None
+                self._json(200, s)
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/enhance":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            from storm_tpu.utils.server import (decode_wav_bytes,
+                                                encode_wav_bytes)
+
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            try:
+                y, sr = decode_wav_bytes(body)
+            except Exception as e:
+                self._json(400, {"error": f"not a WAV payload: {e}"})
+                return
+            if sr != model_sr:
+                self._json(400, {"error": f"sample rate {sr} != {model_sr}; "
+                                 "resample to 16 kHz"})
+                return
+            D = info["spatial_channels"]
+            if y.shape[0] < D:
+                self._json(400, {"error": f"{y.shape[0]} channels, model "
+                                 f"needs {D}"})
+                return
+            y = y[:D] if D > 1 else y[0]
+            t0 = time.perf_counter()
+            try:
+                x_hat, nfe = batcher.submit(y)
+            except Exception as e:
+                self._json(500, {"error": str(e)})
+                return
+            elapsed = time.perf_counter() - t0
+            wav = encode_wav_bytes(x_hat, model_sr)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(wav)))
+            self.send_header("X-NFE", str(nfe))
+            self.send_header("X-RTF",
+                             f"{elapsed / (y.shape[-1] / model_sr):.4f}")
+            self.end_headers()
+            self.wfile.write(wav)
+
+    return Handler
+
+
+def build_server(args):
+    """Load the model and return (ThreadingHTTPServer, DynamicBatcher)."""
+    import jax
+
+    if os.environ.get("STORM_TPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["STORM_TPU_PLATFORM"])
+    import numpy as np
+
+    from storm_tpu.ckpt import load_checkpoint
+    from storm_tpu.models.factory import build_model
+    from storm_tpu.utils.inference import BucketedEnhancer
+    from storm_tpu.utils.jaxcache import enable_jax_compilation_cache
+    from storm_tpu.utils.server import DynamicBatcher
+    from storm_tpu.utils.serving import (calibrate_or_load_scales,
+                                         load_gagnet_batch_stats)
+
+    enable_jax_compilation_cache()
+    model_sr = 16000
+    config, state = load_checkpoint(args.ckpt)
+    model = build_model(dict(config))
+    params = state.params if args.no_ema else state.ema_params
+    key = jax.random.PRNGKey(args.seed)
+
+    quant = None
+    if args.quant == "int8":
+        from storm_tpu.data.audio import load_wav
+
+        def calib():
+            files = sorted(glob.glob(os.path.join(args.calib_dir or "",
+                                                  "*.wav")))[:4]
+            if not files:
+                raise SystemExit("--quant int8 needs --calib_dir with wavs "
+                                 "(or pre-cached scales at the checkpoint)")
+            return [load_wav(f)[0][0] for f in files]
+
+        key, kcal = jax.random.split(key)
+        quant = calibrate_or_load_scales(
+            model, params, args.mode, args.ckpt, calib, kcal,
+            N=args.N, min_channels=args.quant_min_channels,
+            params_source="raw" if args.no_ema else "ema",
+            model_sr=model_sr,
+        )
+
+    enhancer = BucketedEnhancer(
+        model, params, minibatch=args.batch,
+        sampler_type=args.sampler, predictor=args.predictor,
+        corrector=args.corrector, corrector_steps=args.corrector_steps,
+        snr=args.snr, N=args.N, method=args.ode_method,
+        quant=quant, batch_stats=load_gagnet_batch_stats(args.ckpt, params),
+        deepcache=args.deepcache, deepcache_depth=args.deepcache_depth,
+    )
+
+    if args.warmup_s > 0:  # compile before the first request arrives
+        key, kw = jax.random.split(key)
+        D = int(config.get("spatial_channels", 1))
+        shape = (int(args.warmup_s * model_sr),)
+        if D > 1:
+            shape = (D,) + shape
+        enhancer(np.zeros(shape, np.float32), kw)
+
+    batcher = DynamicBatcher(enhancer, key, max_batch=args.batch,
+                             max_wait_ms=args.max_wait_ms)
+    info = {
+        "mode": args.mode, "sampler": args.sampler, "N": args.N,
+        "quant": args.quant or "none", "deepcache": args.deepcache,
+        "batch": args.batch, "backend": jax.default_backend(),
+        "spatial_channels": int(config.get("spatial_channels", 1)),
+    }
+    httpd = ThreadingHTTPServer((args.host, args.port),
+                                make_handler(batcher, info, model_sr))
+    return httpd, batcher
+
+
+def main():
+    args = build_argparser().parse_args()
+    httpd, batcher = build_server(args)
+    host, port = httpd.server_address[:2]
+    print(f"serving on http://{host}:{port} (POST /enhance)", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,8 @@ def main():
     parser.add_argument("--ckpt", type=str, required=True,
                         help="Checkpoint directory (from train.py).")
     parser.add_argument("--mode", required=True,
-                        choices=["score-only", "denoiser-only", "storm"])
+                        choices=["score-only", "denoiser-only", "storm",
+                                 "distill"])
     parser.add_argument("--sampler", type=str,
                         choices=("pc", "ode", "picard"), default="pc",
                         help="pc: predictor-corrector (reference default); "
@@ -122,7 +123,8 @@ def main():
     ckpt_mode = config.get("mode", "regen-joint-training")
     expected = {"storm": ("regen-joint-training", "regen-freeze-denoiser"),
                 "score-only": ("score-only",),
-                "denoiser-only": ("denoiser-only",)}[args.mode]
+                "denoiser-only": ("denoiser-only",),
+                "distill": ("distill",)}[args.mode]
     if ckpt_mode not in expected:
         raise SystemExit(
             f"--mode {args.mode} incompatible with checkpoint mode {ckpt_mode}"

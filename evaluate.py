@@ -29,7 +29,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--mode", required=True,
-                    choices=["score-only", "denoiser-only", "storm"])
+                    choices=["score-only", "denoiser-only", "storm",
+                             "distill"])
     ap.add_argument("--base_dir", required=True)
     ap.add_argument("--format", default="wsj0",
                     choices=["wsj0", "vctk", "dns", "reverb_wsj0", "timit",

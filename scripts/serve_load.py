@@ -1,0 +1,102 @@
+"""Load-test the online serving daemon (serve.py).
+
+Fires concurrent /enhance requests from a directory of 16 kHz wavs against
+a running server and reports aggregate serving throughput + latency
+percentiles + the server's own batching counters. The throughput number is
+directly comparable to bench.py's audio-s/s/chip (same device program;
+this adds HTTP + dynamic-batching overhead on top).
+
+    python serve.py --ckpt <c> --mode storm --warmup_s 4 &
+    python scripts/serve_load.py --url http://127.0.0.1:8571 \
+        --dir /tmp/corpus/audio/tt/noisy --requests 64 --concurrency 16
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import threading
+import time
+import urllib.request
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--url", default="http://127.0.0.1:8571")
+    ap.add_argument("--dir", required=True, help="directory of 16 kHz wavs")
+    ap.add_argument("--requests", type=int, default=64)
+    ap.add_argument("--concurrency", type=int, default=16)
+    ap.add_argument("--json", default=None, help="write the report here")
+    args = ap.parse_args()
+
+    files = sorted(glob.glob(os.path.join(args.dir, "*.wav")))
+    if not files:
+        raise SystemExit(f"no wavs in {args.dir}")
+    payloads = []
+    for i in range(args.requests):
+        with open(files[i % len(files)], "rb") as f:
+            payloads.append(f.read())
+
+    # one warm request so compile time doesn't pollute the measurement
+    urllib.request.urlopen(urllib.request.Request(
+        args.url + "/enhance", data=payloads[0], method="POST"), timeout=3600
+    ).read()
+    stats0 = json.loads(urllib.request.urlopen(
+        args.url + "/stats", timeout=60).read())
+
+    lat, lock = [], threading.Lock()
+    audio_bytes = [0]
+    idx = [0]
+
+    def worker():
+        while True:
+            with lock:
+                if idx[0] >= len(payloads):
+                    return
+                body = payloads[idx[0]]
+                idx[0] += 1
+            t0 = time.perf_counter()
+            out = urllib.request.urlopen(urllib.request.Request(
+                args.url + "/enhance", data=body, method="POST"),
+                timeout=3600).read()
+            dt = time.perf_counter() - t0
+            with lock:
+                lat.append(dt)
+                audio_bytes[0] += len(out) - 44  # PCM16 payload
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker)
+               for _ in range(args.concurrency)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    stats1 = json.loads(urllib.request.urlopen(
+        args.url + "/stats", timeout=60).read())
+    audio_s = audio_bytes[0] / 2 / 16000
+    lat.sort()
+    report = {
+        "requests": len(lat),
+        "concurrency": args.concurrency,
+        "wall_s": round(wall, 3),
+        "audio_s": round(audio_s, 2),
+        "audio_s_per_s": round(audio_s / wall, 3),
+        "latency_p50_s": round(lat[len(lat) // 2], 3),
+        "latency_p95_s": round(lat[int(len(lat) * 0.95)], 3),
+        "server_batches": stats1["batches"] - stats0["batches"],
+        "mean_batch": round((stats1["batched_requests"]
+                             - stats0["batched_requests"])
+                            / max(1, stats1["batches"] - stats0["batches"]),
+                            2),
+    }
+    print(json.dumps(report))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

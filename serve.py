@@ -31,7 +31,8 @@ def build_argparser():
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", required=True)
     p.add_argument("--mode", required=True,
-                   choices=["score-only", "denoiser-only", "storm"])
+                   choices=["score-only", "denoiser-only", "storm",
+                            "distill"])
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8571)
     p.add_argument("--batch", type=int, default=8,

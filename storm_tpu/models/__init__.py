@@ -6,6 +6,8 @@ Mode names follow the reference train CLI (train.py:33-38):
     denoiser-only         -> DiscriminativeModel
     regen-joint-training  -> StochasticRegenerationModel
     regen-freeze-denoiser -> StochasticRegenerationModel (frozen denoiser)
+    distill               -> DistilledModel (beyond-reference: one-step
+                             student of the StoRM probability-flow ODE)
 """
 from .base import (
     TrainState,
@@ -18,6 +20,7 @@ from .base import (
     wav_to_spec,
 )
 from .discriminative import DiscriminativeModel, si_sdr_jax
+from .distill import DistilledModel
 from .score import ScoreModel
 from .storm import StochasticRegenerationModel
 
@@ -30,6 +33,8 @@ def model_cls_for_mode(mode: str):
         return DiscriminativeModel
     elif mode in ("regen-joint-training", "regen-freeze-denoiser"):
         return StochasticRegenerationModel
+    elif mode == "distill":
+        return DistilledModel
     raise ValueError(f"Unknown mode: {mode!r}")
 
 
@@ -44,6 +49,7 @@ __all__ = [
     "wav_to_spec",
     "ScoreModel",
     "DiscriminativeModel",
+    "DistilledModel",
     "StochasticRegenerationModel",
     "si_sdr_jax",
     "model_cls_for_mode",

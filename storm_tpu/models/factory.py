@@ -46,6 +46,23 @@ def build_model(config: Dict[str, Any]):
     common = dict(stft_config=stft_config, transform=transform)
     if mode in ("regen-joint-training", "regen-freeze-denoiser"):
         return StochasticRegenerationModel.create(mode=mode, **common, **cfg)
+    elif mode == "distill":
+        # one-step student of the StoRM PF-ODE (models/distill.py): the
+        # architecture fields are the teacher's; distill_* are its own
+        from .distill import DistilledModel
+
+        distill_kwargs = {
+            k: cfg.pop(k)
+            for k in ("distill_N", "distill_method", "distill_gt_weight")
+            if k in cfg
+        }
+        storm = StochasticRegenerationModel.create(
+            mode="regen-joint-training", **common, **cfg
+        )
+        return DistilledModel(
+            storm=storm, lr=cfg.get("lr", 1e-4),
+            ema_decay=cfg.get("ema_decay", 0.999), **distill_kwargs,
+        )
     elif mode == "score-only":
         cfg.pop("backbone_denoiser", None)
         cfg["backbone"] = cfg.pop("backbone_score", cfg.pop("backbone", "ncsnpp"))

@@ -153,9 +153,16 @@ def ode_sample(
     deepcache: int = 0,
     deep_fn: Optional[Callable] = None,
     cached_score_fn: Optional[Callable] = None,
+    x_init=None,
     **ignored_kwargs,
 ):
     """Probability-flow ODE sampling, fully on device.
+
+    `x_init`: optional explicit start state x(T) replacing the internal
+    prior draw — the deterministic-trajectory hook used by distillation
+    (models/distill.py), where teacher and student must integrate from the
+    SAME x_T. The key split is unchanged either way, so `x_init=None`
+    stays bitwise-identical to the historical behavior.
 
     The reference bridges to scipy RK45 on the host (structurally host-bound,
     sgmse/sampling/__init__.py:71-141); the TPU-native equivalent integrates
@@ -201,7 +208,7 @@ def ode_sample(
         )
 
     key, kprior = jax.random.split(key)
-    x0 = sde.prior_sampling(kprior, y)
+    x0 = sde.prior_sampling(kprior, y) if x_init is None else x_init
     ts = jnp.linspace(sde.T, eps, n + 1, dtype=jnp.float32)
 
     def drift(sf, x, t):

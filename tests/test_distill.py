@@ -1,0 +1,163 @@
+"""One-step PF-ODE distillation (models/distill.py, beyond-reference).
+
+Pins: the x_init injection seam in ode_sample, student-at-teacher
+initialization semantics (frozen denoiser, Tweedie parameterization),
+distillation loss descent on a fixed batch, the NFE=2 serving contract
+through the shared BucketedEnhancer stack, checkpoint round-trip through
+models.factory, and the explicit int8/deepcache rejections.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from storm_tpu.models.factory import build_model
+from storm_tpu.sampling.samplers import ode_sample
+from storm_tpu.sde.sdes import OUVESDE
+
+CONFIG = {"mode": "regen-joint-training", "nf": 8, "ch_mult": [1, 1],
+          "image_size": 64, "sde": "ouve"}
+SPEC = (2, 256, 32)  # (B, F, T)
+
+
+def test_ode_sample_x_init_matches_internal_prior():
+    sde = OUVESDE(theta=1.5, sigma_min=0.05, sigma_max=0.5, N=4)
+    key = jax.random.PRNGKey(3)
+    y = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 2)) * 0.1
+
+    def score_fn(x, t, y_sde):
+        return -0.1 * x
+
+    a, nfe_a = ode_sample(key, sde, score_fn, y, N=4, method="euler")
+    x_init = sde.prior_sampling(jax.random.split(key)[1], y)
+    b, nfe_b = ode_sample(key, sde, score_fn, y, N=4, method="euler",
+                          x_init=x_init)
+    assert nfe_a == nfe_b
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.fixture(scope="module")
+def teacher():
+    model = build_model(dict(CONFIG))
+    state = model.init_state(jax.random.PRNGKey(0), SPEC)
+    return model, state
+
+
+def _distill(teacher_state, **overrides):
+    cfg = dict(CONFIG)
+    cfg.update(mode="distill", distill_N=2, distill_method="euler",
+               **overrides)
+    model = build_model(cfg).with_teacher(teacher_state.ema_params["score"])
+    state = model.init_state(jax.random.PRNGKey(1), SPEC)
+    tp = {"denoiser": teacher_state.ema_params["denoiser"],
+          "score": teacher_state.ema_params["score"]}
+    return model, state.replace(params=tp, ema_params=tp)
+
+
+def _spec_batch(key):
+    kx, ky = jax.random.split(key)
+    x = 0.1 * jax.random.normal(kx, SPEC + (2,))
+    y = x + 0.03 * jax.random.normal(ky, SPEC + (2,))
+    return x, y
+
+
+def test_distill_step_freezes_denoiser_and_descends(teacher):
+    _, t_state = teacher
+    model, state = _distill(t_state, lr=1e-3)
+    batch = _spec_batch(jax.random.PRNGKey(7))
+    step = model.make_train_step(donate=False)
+    d0 = jax.device_get(state.params["denoiser"])
+    s0 = jax.device_get(state.params["score"])
+
+    losses = []
+    key = jax.random.PRNGKey(11)
+    for _ in range(6):  # same batch + same key: pure descent check
+        state, aux = step(state, batch, key)
+        losses.append(float(aux["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    for a, b in zip(jax.tree.leaves(state.params["denoiser"]),
+                    jax.tree.leaves(d0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the student moved: some trainable score leaf changed (a few leaves,
+    # e.g. the Gaussian-Fourier projection table, are frozen by design)
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.params["score"]),
+                        jax.tree.leaves(s0))
+    )
+
+
+def test_distill_loss_per_example_shape_and_teacher_guard(teacher):
+    _, t_state = teacher
+    model, state = _distill(t_state)
+    batch = _spec_batch(jax.random.PRNGKey(8))
+    per_ex = model.loss_per_example(state.params, jax.random.PRNGKey(0),
+                                    batch)
+    assert per_ex.shape == (SPEC[0],)
+    assert np.isfinite(np.asarray(per_ex)).all()
+
+    untaught = dataclasses.replace(model, teacher_score_params=None)
+    with pytest.raises(ValueError, match="teacher_score_params"):
+        untaught.loss_fn(state.params, jax.random.PRNGKey(0), batch)
+
+
+def test_distill_enhance_nfe2_via_bucketed_enhancer(teacher, tmp_path):
+    from storm_tpu.ckpt import load_checkpoint, save_checkpoint
+    from storm_tpu.utils.inference import BucketedEnhancer
+
+    _, t_state = teacher
+    model, state = _distill(t_state)
+
+    # round-trip through the checkpoint layer: a distilled checkpoint must
+    # rebuild + serve through the standard factory path (no teacher needed)
+    cfg = dict(CONFIG)
+    cfg.update(mode="distill", distill_N=2, distill_method="euler")
+    save_checkpoint(str(tmp_path / "ckpt"), state, cfg)
+    config2, state2 = load_checkpoint(str(tmp_path / "ckpt"))
+    served = build_model(dict(config2))
+    assert type(served).__name__ == "DistilledModel"
+
+    enhancer = BucketedEnhancer(served, state2.ema_params, minibatch=2)
+    y = 0.1 * np.random.default_rng(0).standard_normal(5000).astype(np.float32)
+    x_hat, nfe = enhancer(y, jax.random.PRNGKey(0))
+    assert nfe == 2
+    assert x_hat.shape == y.shape
+    assert np.isfinite(np.asarray(x_hat)).all()
+
+
+def test_distill_enhance_rejects_quant_and_deepcache(teacher):
+    _, t_state = teacher
+    model, _ = _distill(t_state)
+    with pytest.raises(ValueError, match="quant"):
+        model.make_enhance(quant={"score": {}})
+    with pytest.raises(ValueError, match="deepcache"):
+        model.make_enhance(deepcache=3)
+
+
+def test_distill_init_is_posterior_mean(teacher):
+    """At student == teacher the one-step map must equal the analytic
+    Tweedie estimate inverted through the marginal mean — i.e. the
+    parameterization, not the net, carries the x0 scale."""
+    from storm_tpu.models.distill import _mean_factor
+    from storm_tpu.signal import cplx
+    from storm_tpu.utils.tensors import right_pad_dims
+
+    _, t_state = teacher
+    model, state = _distill(t_state)
+    x, y = _spec_batch(jax.random.PRNGKey(9))
+    y_den = model.storm.forward_denoiser(state.params, y)
+    B = x.shape[0]
+    t_T = jnp.full((B,), model.sde.T, jnp.float32)
+    std_T = model.sde.marginal_prob(x, t_T, y_den)[1]
+    z = cplx.complex_normal(jax.random.PRNGKey(10), x.shape[:-1])
+    x_T = y_den + right_pad_dims(std_T, x) * z
+    cond = model.storm._conditioning(y, y_den)
+
+    x0 = model._student_x0(state.params, x_T, cond, std_T, y_den)
+    s = model.storm.forward_score(state.params, x_T, t_T, cond)
+    fac = _mean_factor(model.sde, model.sde.T)
+    want = y_den + (x_T + right_pad_dims(std_T, x) ** 2 * s - y_den) / fac
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(want), atol=1e-5)

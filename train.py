@@ -83,7 +83,22 @@ def parse_args():
     # --- top-level (reference train.py:29-48) ---
     parser.add_argument("--mode", required=True, choices=[
         "score-only", "denoiser-only", "regen-freeze-denoiser",
-        "regen-joint-training"])
+        "regen-joint-training", "distill"])
+    # --- distillation (beyond-reference, models/distill.py) ---
+    parser.add_argument("--teacher_ckpt", default=None,
+                        help="converged storm checkpoint to distill "
+                        "(required with --mode distill); the student "
+                        "inherits its full architecture and initializes "
+                        "from its EMA weights")
+    parser.add_argument("--distill_N", type=int, default=8,
+                        help="teacher probability-flow ODE steps per "
+                        "distillation target")
+    parser.add_argument("--distill_method", default="etd2",
+                        choices=("euler", "heun", "rk4", "etd1", "etd2"),
+                        help="teacher ODE integrator for the targets")
+    parser.add_argument("--distill_gt_weight", type=float, default=0.0,
+                        help="optional auxiliary clean-target MSE weight "
+                        "on top of the pure teacher-matching loss")
     parser.add_argument("--backbone_denoiser", type=str, default="ncsnpp")
     parser.add_argument("--pretrained_denoiser", default=None,
                         help="checkpoint dir for denoiser grafting")
@@ -248,21 +263,55 @@ def main():
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    config = {k: getattr(args, k) for k in MODEL_CONFIG_KEYS}
-    # flags contributed by the chosen backbones' argparse groups
-    for k in getattr(args, "backbone_config_keys", []):
-        config[k] = getattr(args, k)
-    if args.nf is not None:
-        config["nf"] = args.nf
-    if args.ch_mult is not None:
-        config["ch_mult"] = tuple(int(c) for c in args.ch_mult.split(","))
-    if args.sde == "ouve":
-        for k in ("beta_min", "beta_max", "stiffness"):
-            config.pop(k)
+    teacher_state = None
+    if args.mode == "distill":
+        # the student IS the teacher's architecture: every model/signal
+        # config field comes from the teacher checkpoint; only the
+        # optimizer and distillation knobs are this run's
+        if not args.teacher_ckpt:
+            raise SystemExit("--mode distill requires --teacher_ckpt")
+        t_config, teacher_state = load_checkpoint(args.teacher_ckpt)
+        if t_config.get("mode") not in (
+            "regen-joint-training", "regen-freeze-denoiser"
+        ):
+            raise SystemExit(
+                "--teacher_ckpt must be a storm (regen-*) checkpoint, got "
+                f"mode={t_config.get('mode')!r}"
+            )
+        config = dict(t_config)
+        config.update(
+            mode="distill", lr=args.lr, ema_decay=args.ema_decay,
+            distill_N=args.distill_N, distill_method=args.distill_method,
+            distill_gt_weight=args.distill_gt_weight,
+        )
+        # keep the data pipeline and run naming consistent with the
+        # teacher's signal/architecture config
+        for k in ("n_fft", "hop_length", "window", "spec_factor",
+                  "spec_abs_exponent", "backbone_denoiser",
+                  "backbone_score", "condition", "spatial_channels", "sde"):
+            if k in config:
+                setattr(args, k, config[k])
+        model = build_model(dict(config)).with_teacher(
+            jax.device_get(teacher_state.ema_params["score"])
+        )
+        print(f"distilling teacher {args.teacher_ckpt} "
+              f"(N={args.distill_N} {args.distill_method} targets)")
     else:
-        for k in ("theta", "sigma_min", "sigma_max"):
-            config.pop(k)
-    model = build_model(dict(config))
+        config = {k: getattr(args, k) for k in MODEL_CONFIG_KEYS}
+        # flags contributed by the chosen backbones' argparse groups
+        for k in getattr(args, "backbone_config_keys", []):
+            config[k] = getattr(args, k)
+        if args.nf is not None:
+            config["nf"] = args.nf
+        if args.ch_mult is not None:
+            config["ch_mult"] = tuple(int(c) for c in args.ch_mult.split(","))
+        if args.sde == "ouve":
+            for k in ("beta_min", "beta_max", "stiffness"):
+                config.pop(k)
+        else:
+            for k in ("theta", "sigma_min", "sigma_max"):
+                config.pop(k)
+        model = build_model(dict(config))
 
     if args.return_time and (
         args.mode != "denoiser-only"
@@ -319,6 +368,16 @@ def main():
     num_frames = args.num_frames
     spec_shape = (args.batch_size, args.n_fft // 2 + 1, num_frames)
     state = model.init_state(jax.random.PRNGKey(args.seed), spec_shape)
+    if teacher_state is not None:
+        # student starts AT the teacher (its one-step map is then exactly
+        # the posterior-mean estimate, models/distill.py); the denoiser is
+        # carried along frozen (zero gradients) so the distilled checkpoint
+        # serves standalone
+        tp = jax.device_get(
+            {"denoiser": teacher_state.ema_params["denoiser"],
+             "score": teacher_state.ema_params["score"]}
+        )
+        state = state.replace(params=tp, ema_params=tp)
 
     start_epoch = 0
     resumed_meta = None

@@ -65,6 +65,12 @@ def main():
                     "to the exact trajectory on the converged production-"
                     "width model (BASELINE.md deepcache table); 0 = exact")
     ap.add_argument("--deepcache_depth", type=int, default=1)
+    ap.add_argument("--distill", action="store_true",
+                    help="measure distilled one-step serving (NFE=2: "
+                    "denoiser + one-shot student, models/distill.py) "
+                    "instead of the N-step sampler. Throughput is "
+                    "weight-independent, so random weights measure the "
+                    "same program a trained student serves")
     args = ap.parse_args()
 
     # honor the CPU-test platform override like every other CLI
@@ -141,6 +147,35 @@ def main():
         jnp.float32,
     )
     key = jax.random.PRNGKey(1)
+
+    if args.distill:
+        from storm_tpu.models.distill import DistilledModel
+
+        dmodel = DistilledModel(storm=model)
+        enhance2 = dmodel.make_enhance()
+        x_hat, nfe = enhance2(params, y, key)
+        _ = np.asarray(x_hat)
+        times = []
+        with profiled():
+            for i in range(args.reps):
+                t0 = time.perf_counter()
+                x_hat, nfe = enhance2(params, y, jax.random.PRNGKey(i + 2))
+                _ = np.asarray(x_hat)
+                times.append(time.perf_counter() - t0)
+        wall = min(times)
+        value = audio_sec / wall
+        print(json.dumps({
+            "metric": "audio_sec_per_sec_per_chip_distill_nfe2",
+            "value": round(value, 2),
+            "unit": "audio-sec/s/chip",
+            "vs_baseline": round(value / 10.0, 3),
+            "detail": {
+                "batch": args.batch, "nfe": int(nfe),
+                "wall_s": round(wall, 4), "dtype": args.dtype,
+                "backend": jax.default_backend(),
+            },
+        }))
+        return
 
     quant = None
     if args.quant == "int8":

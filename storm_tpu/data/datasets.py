@@ -108,6 +108,32 @@ class Specs:
         """Advance the crop-randomness epoch (forwarded by DataLoader)."""
         self._epoch = int(epoch)
 
+    def open_hdf5(self):
+        """Open the newest metadata JSON + HDF5 archive in `data_dir`
+        (≙ `Specs._open_hdf5`, sgmse/data_module.py:71-73).
+
+        The reference defines this but never calls it, and it would crash
+        there (no `self.data_dir` on its class and `json` unimported in
+        that scope); provided here as a *working* equivalent: some
+        preprocessed corpora ship one `.hdf5` of arrays plus a `.json` of
+        per-utterance metadata next to the wav tree. Returns
+        (meta_data dict, h5py.File) and caches them on the instance.
+        """
+        import json as _json
+
+        import h5py
+
+        jsons = sorted(glob(join(self.data_dir, "*.json")))
+        h5s = sorted(glob(join(self.data_dir, "*.hdf5")))
+        if not jsons or not h5s:
+            raise FileNotFoundError(
+                f"no *.json + *.hdf5 pair in {self.data_dir}"
+            )
+        with open(jsons[-1]) as f:
+            self.meta_data = _json.load(f)
+        self.prep_file = h5py.File(h5s[-1], "r")
+        return self.meta_data, self.prep_file
+
     @property
     def target_len(self) -> int:
         # center=True formula (data_module.py:95)

@@ -237,3 +237,27 @@ def test_pesq_gated_with_stub_module():
             sys.modules.pop("pesq", None)
         else:
             sys.modules["pesq"] = saved
+
+
+def test_specs_open_hdf5(toy_dataset):
+    """Working equivalent of the reference's dead `_open_hdf5`
+    (sgmse/data_module.py:71-73): newest *.json + *.hdf5 pair in data_dir."""
+    import json
+
+    import h5py
+
+    from storm_tpu.data import Specs
+
+    ds = Specs(toy_dataset, "train", format="wsj0", hop_length=128)
+    with pytest.raises(FileNotFoundError):
+        ds.open_hdf5()
+
+    with open(os.path.join(toy_dataset, "meta.json"), "w") as f:
+        json.dump({"u0": {"snr": 5.0}}, f)
+    with h5py.File(os.path.join(toy_dataset, "prep.hdf5"), "w") as f:
+        f.create_dataset("u0", data=np.zeros(16, np.float32))
+
+    meta, h5 = ds.open_hdf5()
+    assert meta["u0"]["snr"] == 5.0
+    assert ds.prep_file["u0"].shape == (16,)
+    h5.close()

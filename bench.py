@@ -202,6 +202,20 @@ def main():
     x_hat, nfe = enhance(params, y, key)
     _ = np.asarray(x_hat)
 
+    def compiled_flops(fn, *a):
+        """XLA's own FLOP count for the compiled program (None if the
+        backend doesn't report one) — grounds the achieved-TFLOP/s number
+        printed in `detail` without hand-counting conv shapes."""
+        try:
+            ca = fn.lower(*a).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca["flops"])
+        except Exception:
+            return None
+
+    flops = compiled_flops(enhance, params, y, key)
+
     times = []
     with profiled():
         for i in range(args.reps):
@@ -253,6 +267,10 @@ def main():
             "deepcache": args.deepcache,
             "deepcache_depth": args.deepcache_depth,
             "backbone": args.backbone,
+            "program_tflops": (round(flops / 1e12, 3)
+                               if flops is not None else None),
+            "achieved_tflops_per_s": (round(flops / wall / 1e12, 2)
+                                      if flops is not None else None),
         },
     }))
 

@@ -222,16 +222,29 @@ def build_server(args):
 
 
 def main():
+    import signal
+    import threading
+
     args = build_argparser().parse_args()
     httpd, batcher = build_server(args)
     host, port = httpd.server_address[:2]
     print(f"serving on http://{host}:{port} (POST /enhance)", flush=True)
+
+    # orchestrators stop containers with SIGTERM: drain in-flight batches
+    # instead of dying mid-request (serve_forever unblocks, then the
+    # batcher finishes its queue in close())
+    signal.signal(
+        signal.SIGTERM,
+        lambda *_: threading.Thread(target=httpd.shutdown,
+                                    daemon=True).start(),
+    )
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         batcher.close()
+        print("drained; bye", flush=True)
 
 
 if __name__ == "__main__":

@@ -66,6 +66,12 @@ def main():
                         help="shard serving batches over ALL visible "
                         "devices (1-D mesh, batch-split; params replicated) "
                         "— implies batched serving")
+    parser.add_argument("--seq_parallel", type=int, default=0,
+                        help="model-parallel serving: shard each "
+                        "spectrogram's time-frame axis over this many "
+                        "devices for the whole reverse diffusion (latency "
+                        "axis; GSPMD halo exchange). Composes with "
+                        "--data_parallel on the remaining devices")
     parser.add_argument("--quant", default=None, choices=("int8",),
                         help="post-training W8A8 int8 serving: calibrates "
                         "activation scales on the first files, then runs "
@@ -181,7 +187,7 @@ def main():
     enhancer = BucketedEnhancer(
         model, params,
         minibatch=args.batch if args.batch > 1 else None,
-        data_parallel=args.data_parallel,
+        data_parallel=args.data_parallel, seq_parallel=args.seq_parallel,
         sampler_type=args.sampler, predictor=args.predictor,
         corrector=args.corrector, corrector_steps=args.corrector_steps,
         snr=args.snr, N=args.N, method=args.ode_method, sweeps=args.sweeps,

@@ -67,6 +67,12 @@ def build_argparser():
                    "are already cached at the checkpoint)")
     p.add_argument("--deepcache", type=int, default=0)
     p.add_argument("--deepcache_depth", type=int, default=1)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard request batches over all visible devices")
+    p.add_argument("--seq_parallel", type=int, default=0,
+                   help="shard each spectrogram's time-frame axis over "
+                   "this many devices (latency axis; composes with "
+                   "--data_parallel)")
     return p
 
 
@@ -193,6 +199,7 @@ def build_server(args):
 
     enhancer = BucketedEnhancer(
         model, params, minibatch=args.batch,
+        data_parallel=args.data_parallel, seq_parallel=args.seq_parallel,
         sampler_type=args.sampler, predictor=args.predictor,
         corrector=args.corrector, corrector_steps=args.corrector_steps,
         snr=args.snr, N=args.N, method=args.ode_method,
@@ -208,6 +215,9 @@ def build_server(args):
             shape = (D,) + shape
         enhancer(np.zeros(shape, np.float32), kw)
 
+    # mesh modes round the serving minibatch (see BucketedEnhancer);
+    # keep the batcher's coalescing bound in sync with the compiled shape
+    args.batch = enhancer.minibatch or args.batch
     batcher = DynamicBatcher(enhancer, key, max_batch=args.batch,
                              max_wait_ms=args.max_wait_ms)
     info = {

@@ -153,6 +153,38 @@ def check_deepcache_config(net, deepcache: int, sampler_type: str):
         )
 
 
+def spec_sharding_constraint(mesh, mesh_axes=("data", "seq")):
+    """Build a sharding-constraint closure for compressed specs.
+
+    Returns `constrain(Z)` placing a spec's batch axis on `mesh_axes[0]`
+    and its time-frame axis (-2, see prepare_spec) on `mesh_axes[1]` of
+    `mesh`. Applied to the spectrogram and to every sampler-step network
+    input, this makes XLA's SPMD partitioner keep the whole reverse
+    diffusion spatially sharded over the mesh — GSPMD inserts the halo
+    exchanges the 3x3 convs need and runs norm/attention reductions as
+    collectives over ICI. This is the model-parallel serving axis
+    (single-utterance latency scales with chip count); the reference has
+    no equivalent (its DDP, train.py:150, is data-parallel training only).
+
+    `mesh=None` returns the identity, so call sites can apply it
+    unconditionally.
+    """
+    if mesh is None:
+        return lambda Z: Z
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_ax, seq_ax = mesh_axes
+
+    def constrain(Z):
+        # spec ranks: (B, F, T, 2) or (B, D, F, T, 2); T is axis -2
+        spec = [data_ax] + [None] * (Z.ndim - 3) + [seq_ax, None]
+        return jax.lax.with_sharding_constraint(
+            Z, NamedSharding(mesh, P(*spec))
+        )
+
+    return constrain
+
+
 def prepare_spec(y, stft_config: STFTConfig, transform: SpecTransform,
                  multiple: int = 64):
     """wav (B, T) -> (Y_padded, num_frames_orig): compressed spec with the

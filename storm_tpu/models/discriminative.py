@@ -191,13 +191,20 @@ class DiscriminativeModel:
         return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
     def make_enhance(self, num_samples: int = 0, quant=None,
-                     batch_stats=None, **ignored_kwargs):
+                     batch_stats=None, mesh=None,
+                     mesh_axes=("data", "seq"), **ignored_kwargs):
         """Single-pass enhancement (sgmse/model.py:345-363), jitted.
 
         `quant`: optional int8 activation-scale tree (models/quant.py);
         `batch_stats`: optional eval-mode BatchNorm running stats
-        (GaGNet norm_type="BN", see apply)."""
+        (GaGNet norm_type="BN", see apply); `mesh`/`mesh_axes`: optional
+        model-parallel serving mesh (spectral backbones only — the
+        time-domain FORCE_STFT_OUT path has no frame axis to shard, so it
+        runs data-parallel on such a mesh)."""
         del num_samples
+        from .base import spec_sharding_constraint
+
+        constrain = spec_sharding_constraint(mesh, mesh_axes)
 
         @jax.jit
         def enhance(params, y, key):
@@ -211,6 +218,7 @@ class DiscriminativeModel:
                 x_hat = self.dnn.apply({"params": params}, y_n, t)
                 return x_hat[..., :T_orig] * norm, 1
             Y, _t_frames = prepare_spec(y_n, self.stft_config, self.transform)
+            Y = constrain(Y)
             X_hat = self.apply(params, Y, quant=quant,
                                batch_stats=batch_stats)
             # full padded spec -> iSTFT(length=T_orig), reference behavior

@@ -234,6 +234,7 @@ class DistilledModel:
 
     def make_enhance(self, num_samples: int = 0, quant=None,
                      batch_stats=None, deepcache: int = 0,
+                     mesh=None, mesh_axes=("data", "seq"),
                      **ignored_sampler_kwargs):
         """Jitted 2-evaluation enhancement: denoiser, then the one-step
         student map. Sampler knobs (N/corrector/...) are accepted and
@@ -248,18 +249,22 @@ class DistilledModel:
                 "NFE is already 2)"
             )
         del num_samples, batch_stats
+        from .base import spec_sharding_constraint
+
+        constrain = spec_sharding_constraint(mesh, mesh_axes)
 
         @jax.jit
         def enhance(params, y, key):
             T_orig = y.shape[-1]
             y_n, norm = normalize_wav(y)
             Y, _ = prepare_spec(y_n, self.stft_config, self.transform)
+            Y = constrain(Y)
             Y_denoised = self.storm.forward_denoiser(params, Y)
             B = Y.shape[0]
             t_T = jnp.full((B,), self.sde.T, jnp.float32)
             std_T = self.sde.marginal_prob(Y, t_T, Y_denoised)[1]
             z = cplx.complex_normal(key, Y.shape[:-1])
-            x_T = Y_denoised + right_pad_dims(std_T, Y) * z
+            x_T = constrain(Y_denoised + right_pad_dims(std_T, Y) * z)
             cond = self.storm._conditioning(Y, Y_denoised)
             x0 = self._student_x0(params, x_T, cond, std_T, Y_denoised)
             x_hat = spec_to_wav(

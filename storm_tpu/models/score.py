@@ -232,6 +232,8 @@ class ScoreModel:
         batch_stats=None,
         deepcache: int = 0,
         deepcache_depth: int = 1,
+        mesh=None,
+        mesh_axes=("data", "seq"),
         **kwargs,
     ):
         """Build a jitted enhancement program for a fixed utterance length.
@@ -245,6 +247,9 @@ class ScoreModel:
         `deepcache`/`deepcache_depth`: deep-feature cache refresh interval /
         recomputed top-level count (DeepCache-style serving acceleration;
         see StochasticRegenerationModel.make_enhance).
+        `mesh`/`mesh_axes`: optional (data, sequence)-axis Mesh for
+        model-parallel serving (see StochasticRegenerationModel.make_enhance
+        and models.base.spec_sharding_constraint).
 
         Returns `enhance(params, y, key) -> (x_hat, nfe)` for y (B, T).
         """
@@ -253,15 +258,20 @@ class ScoreModel:
             from .base import check_deepcache_config
 
             check_deepcache_config(self.dnn, deepcache, sampler_type)
+        from .base import spec_sharding_constraint
+
+        constrain = spec_sharding_constraint(mesh, mesh_axes)
 
         @jax.jit
         def enhance(params, y, key):
             T_orig = y.shape[-1]
             y_n, norm = normalize_wav(y)
             Y, t_frames = prepare_spec(y_n, self.stft_config, self.transform)
+            Y = constrain(Y)
 
             def score_fn(x, t, y_sde):
-                return self.score_apply(params, x, t, y_sde, quant=quant,
+                return self.score_apply(params, constrain(x), t, y_sde,
+                                        quant=quant,
                                         batch_stats=batch_stats)
 
             cache_kwargs = {}
@@ -277,7 +287,7 @@ class ScoreModel:
                     return variables
 
                 def _score_input(x):
-                    x5, squeezed = lift_spec(x)
+                    x5, squeezed = lift_spec(constrain(x))
                     y5, _ = lift_spec(Y)
                     return jnp.concatenate([x5, y5], axis=1), squeezed
 

@@ -405,6 +405,8 @@ class StochasticRegenerationModel:
         batch_stats=None,
         deepcache: int = 0,
         deepcache_depth: int = 1,
+        mesh=None,
+        mesh_axes=("data", "seq"),
         **kwargs,
     ):
         """Jitted one-call enhancement (sgmse/model.py:720-780).
@@ -423,6 +425,11 @@ class StochasticRegenerationModel:
         `deepcache_depth` U-Net levels per score evaluation (DeepCache-style
         serving acceleration, arXiv:2312.00858; pc sampler + NCSN++-family
         score nets only — quality measured in BASELINE.md).
+        `mesh`/`mesh_axes`: optional `jax.sharding.Mesh` with
+        (data, sequence) axis names — shards the batch over the data axis
+        and the spectrogram time-frame axis over the sequence axis for the
+        ENTIRE reverse diffusion (model-parallel serving; see
+        models.base.spec_sharding_constraint).
 
         Returns `enhance(params, y, key) -> (x_hat, nfe)` for y (B, T).
         """
@@ -435,12 +442,16 @@ class StochasticRegenerationModel:
             from .base import check_deepcache_config
 
             check_deepcache_config(self.score_net, deepcache, sampler_type)
+        from .base import spec_sharding_constraint
+
+        constrain = spec_sharding_constraint(mesh, mesh_axes)
 
         @jax.jit
         def enhance(params, y, key):
             T_orig = y.shape[-1]
             y_n, norm = normalize_wav(y)
             Y, t_frames = prepare_spec(y_n, self.stft_config, self.transform)
+            Y = constrain(Y)
 
             nfe = 0
             if self.denoiser_net is not None:
@@ -455,7 +466,7 @@ class StochasticRegenerationModel:
 
                 def score_fn(x, t, y_sde):
                     del y_sde  # conditioning closed over, like the reference
-                    return self.forward_score(params, x, t, cond,
+                    return self.forward_score(params, constrain(x), t, cond,
                                               quant=q_score,
                                               batch_stats=bs_score)
 
@@ -472,7 +483,7 @@ class StochasticRegenerationModel:
                         return variables
 
                     def _score_input(x):
-                        x5, squeezed = lift_spec(x)
+                        x5, squeezed = lift_spec(constrain(x))
                         cond5 = [lift_spec(c)[0] for c in cond]
                         return jnp.concatenate([x5] + cond5, axis=1), squeezed
 

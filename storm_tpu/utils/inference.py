@@ -24,11 +24,20 @@ class BucketedEnhancer:
     visible devices on a 1-D `jax.sharding.Mesh` (batch axis split,
     params replicated) — reverse diffusion is embarrassingly parallel over
     utterances, so serving throughput scales linearly with chip count.
+
+    With `seq_parallel=k > 1`, the mesh becomes 2-D `(data, seq)` with k
+    devices on the sequence axis: each utterance's spectrogram time-frame
+    axis is sharded over those k chips for the whole reverse diffusion
+    (GSPMD halo exchange through the U-Net; see
+    models.base.spec_sharding_constraint). This is the latency axis —
+    a single utterance uses k chips — and it composes with data
+    parallelism on the remaining devices.
     """
 
     def __init__(self, model, params, bucket_frames: int = 64,
                  minibatch: Optional[int] = None,
-                 data_parallel: bool = False, **enhance_kwargs):
+                 data_parallel: bool = False, seq_parallel: int = 0,
+                 **enhance_kwargs):
         self.model = model
         self.params = params
         self.enhance_kwargs = enhance_kwargs
@@ -37,7 +46,30 @@ class BucketedEnhancer:
         self.minibatch = minibatch  # sequential chunking (sgmse/model.py:210-222)
         self._cache: Dict[int, object] = {}
         self._data_sharding = None
-        if data_parallel:
+        if seq_parallel and seq_parallel > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            devices = np.array(jax.devices())
+            if len(devices) % seq_parallel:
+                raise ValueError(
+                    f"seq_parallel={seq_parallel} must divide the device "
+                    f"count ({len(devices)})"
+                )
+            n_data = len(devices) // seq_parallel if data_parallel else 1
+            mesh = Mesh(
+                devices[: n_data * seq_parallel].reshape(
+                    n_data, seq_parallel
+                ),
+                ("data", "seq"),
+            )
+            if self.minibatch is None:
+                self.minibatch = n_data
+            elif self.minibatch % n_data:
+                self.minibatch = -(-self.minibatch // n_data) * n_data
+            self._data_sharding = NamedSharding(mesh, P("data"))
+            self.params = jax.device_put(params, NamedSharding(mesh, P()))
+            self.enhance_kwargs = dict(enhance_kwargs, mesh=mesh)
+        elif data_parallel:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
             devices = np.array(jax.devices())

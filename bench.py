@@ -73,10 +73,21 @@ def main():
                     "same program a trained student serves")
     args = ap.parse_args()
 
+    # soft wall-clock budget for the OPTIONAL extras (XLA cost analysis,
+    # the secondary NFE=31 measurement): on days when the tunneled remote
+    # compiler is slow (cold compiles here range 30 s .. 10 min), the
+    # primary JSON line must never be starved by a nice-to-have detail
+    # field. The primary measurement itself always runs to completion.
+    t_start = time.perf_counter()
+    import os
+    extras_budget_s = float(os.environ.get("STORM_TPU_BENCH_BUDGET_S", "1800"))
+
+    def extras_allowed():
+        return time.perf_counter() - t_start < extras_budget_s
+
     # honor the CPU-test platform override like every other CLI
     # (train.py/evaluate.py/enhancement.py) — the sitecustomize preload
     # latches the tunneled-TPU backend otherwise
-    import os
     if os.environ.get("STORM_TPU_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["STORM_TPU_PLATFORM"])
 
@@ -214,7 +225,8 @@ def main():
         except Exception:
             return None
 
-    flops = compiled_flops(enhance, params, y, key)
+    flops = (compiled_flops(enhance, params, y, key)
+             if extras_allowed() else None)
 
     times = []
     with profiled():
@@ -230,20 +242,24 @@ def main():
     # NFE=101 config in quality on a converged model (BASELINE.md) — the
     # quality-parity serving number, reported in `detail`
     nfe31 = None
-    if not args.train and args.N == 50 and args.corrector == "ald":
-        enhance31 = model.make_enhance(num_samples, N=30, corrector="none",
-                                       quant=quant,
-                                       deepcache=args.deepcache,
-                                       deepcache_depth=args.deepcache_depth)
-        x_hat, _ = enhance31(params, y, jax.random.PRNGKey(99))
-        _ = np.asarray(x_hat)
-        t31 = []
-        for i in range(args.reps):
-            t0 = time.perf_counter()
-            x_hat, _ = enhance31(params, y, jax.random.PRNGKey(100 + i))
+    if (not args.train and args.N == 50 and args.corrector == "ald"
+            and extras_allowed()):
+        try:
+            enhance31 = model.make_enhance(
+                num_samples, N=30, corrector="none", quant=quant,
+                deepcache=args.deepcache,
+                deepcache_depth=args.deepcache_depth)
+            x_hat, _ = enhance31(params, y, jax.random.PRNGKey(99))
             _ = np.asarray(x_hat)
-            t31.append(time.perf_counter() - t0)
-        nfe31 = round(audio_sec / min(t31), 2)
+            t31 = []
+            for i in range(args.reps):
+                t0 = time.perf_counter()
+                x_hat, _ = enhance31(params, y, jax.random.PRNGKey(100 + i))
+                _ = np.asarray(x_hat)
+                t31.append(time.perf_counter() - t0)
+            nfe31 = round(audio_sec / min(t31), 2)
+        except Exception:
+            nfe31 = None  # secondary metric must never sink the run
 
     wall = min(times)
     value = audio_sec / wall  # audio-sec per second per chip

@@ -51,8 +51,20 @@ def main():
     parser.add_argument("--N", type=int, default=50)
     parser.add_argument("--ode-method", dest="ode_method", type=str,
                         default="etd2",
-                        choices=("euler", "heun", "rk4", "etd1", "etd2", "etd2-ms"),
-                        help="integrator for --sampler ode")
+                        choices=("euler", "heun", "rk4", "etd1", "etd2",
+                                 "etd2-ms", "rk45"),
+                        help="integrator for --sampler ode; rk45 is the "
+                        "adaptive error-controlled Dormand-Prince pair "
+                        "matching the reference's scipy solve_ivp RK45 "
+                        "(sgmse/sampling/__init__.py:126-129) — it chooses "
+                        "its own step count per utterance from --rtol/--atol "
+                        "and ignores --N")
+    parser.add_argument("--rtol", type=float, default=1e-5,
+                        help="relative tolerance for --ode-method rk45 "
+                        "(reference default 1e-5)")
+    parser.add_argument("--atol", type=float, default=1e-5,
+                        help="absolute tolerance for --ode-method rk45 "
+                        "(reference default 1e-5)")
     parser.add_argument("--sweeps", type=int, default=8,
                         help="Picard iterations for --sampler picard")
     parser.add_argument("--no-ema", action="store_true",
@@ -191,6 +203,7 @@ def main():
         sampler_type=args.sampler, predictor=args.predictor,
         corrector=args.corrector, corrector_steps=args.corrector_steps,
         snr=args.snr, N=args.N, method=args.ode_method, sweeps=args.sweeps,
+        rtol=args.rtol, atol=args.atol,
         quant=quant, batch_stats=batch_stats,
         deepcache=args.deepcache, deepcache_depth=args.deepcache_depth,
     )

@@ -21,6 +21,135 @@ from .correctors import CorrectorRegistry
 from .predictors import PredictorRegistry
 
 
+# ---------------------------------------------------------------------------
+# Adaptive Dormand-Prince 5(4) (the reference's scipy RK45,
+# sgmse/sampling/__init__.py:126-129, as one on-device lax.while_loop)
+# ---------------------------------------------------------------------------
+
+# Butcher tableau (identical to scipy.integrate.RK45): 6 fresh evaluations
+# per attempted step + FSAL (stage 7 of an accepted step is stage 1 of the
+# next).
+_DP_C = (0.2, 0.3, 0.8, 8.0 / 9.0, 1.0)
+_DP_A = (
+    (1.0 / 5.0,),
+    (3.0 / 40.0, 9.0 / 40.0),
+    (44.0 / 45.0, -56.0 / 15.0, 32.0 / 9.0),
+    (19372.0 / 6561.0, -25360.0 / 2187.0, 64448.0 / 6561.0, -212.0 / 729.0),
+    (9017.0 / 3168.0, -355.0 / 33.0, 46732.0 / 5247.0, 49.0 / 176.0,
+     -5103.0 / 18656.0),
+)
+_DP_B = (35.0 / 384.0, 0.0, 500.0 / 1113.0, 125.0 / 192.0,
+         -2187.0 / 6784.0, 11.0 / 84.0)
+_DP_E = (71.0 / 57600.0, 0.0, -71.0 / 16695.0, 71.0 / 1920.0,
+         -17253.0 / 339200.0, 22.0 / 525.0, -1.0 / 40.0)
+
+_RK_SAFETY = 0.9
+_RK_MIN_FACTOR = 0.2
+_RK_MAX_FACTOR = 10.0
+_RK_ERR_EXP = -0.2  # -1/(error_estimator_order + 1), order 4
+
+
+def _rms(v):
+    return jnp.sqrt(jnp.mean(jnp.square(v.astype(jnp.float32))))
+
+
+def dopri45_integrate(drift_fn, x0, t0: float, t1: float,
+                      rtol: float = 1e-5, atol: float = 1e-5,
+                      max_steps: int = 1000):
+    """Integrate dx/dt = drift_fn(x, t) from t0 to t1 (t1 < t0 here) with
+    the Dormand-Prince 5(4) embedded pair and scipy's step-size controller
+    (scipy/integrate/_ivp/rk.py): error measured as the RMS of the
+    elementwise error scaled by ``atol + rtol * max(|x|, |x_new|)`` over the
+    WHOLE flattened state (the reference flattens the batch into one scipy
+    state vector, sgmse/sampling/__init__.py:119-123, so tolerance semantics
+    match); accepted steps grow by ``SAFETY * norm**-1/5`` capped at 10x
+    (no growth straight after a rejection), rejections shrink by the same
+    rule floored at 0.2x. The initial step follows scipy's
+    ``select_initial_step``. Entirely on device under ``lax.while_loop`` —
+    the step count is data-dependent, so NFE is returned as a traced scalar.
+
+    Returns (x(t1), nfe, n_accepted_steps) with nfe counting drift
+    evaluations (2 for initialization + 6 per attempted step).
+    """
+    direction = 1.0 if t1 >= t0 else -1.0
+    t0 = jnp.float32(t0)
+    t1 = jnp.float32(t1)
+
+    def f(x, t):
+        return drift_fn(x, t)
+
+    # --- scipy select_initial_step (order exponent 1/5) -------------------
+    f0 = f(x0, t0)
+    scale0 = atol + rtol * jnp.abs(x0.astype(jnp.float32))
+    d0 = _rms(x0.astype(jnp.float32) / scale0)
+    d1 = _rms(f0.astype(jnp.float32) / scale0)
+    h0 = jnp.where(jnp.minimum(d0, d1) < 1e-5, 1e-6, 0.01 * d0 / d1)
+    x_probe = x0 + (h0 * direction) * f0.astype(x0.dtype)
+    f_probe = f(x_probe, t0 + h0 * direction)
+    d2 = _rms((f_probe - f0).astype(jnp.float32) / scale0) / h0
+    h1 = jnp.where(
+        jnp.maximum(d1, d2) <= 1e-15,
+        jnp.maximum(1e-6, h0 * 1e-3),
+        (0.01 / jnp.maximum(d1, d2)) ** 0.2,
+    )
+    h_abs0 = jnp.minimum(jnp.minimum(100.0 * h0, h1), jnp.abs(t1 - t0))
+
+    def cond(carry):
+        t, x, k1, h_abs, nfe, n_acc, n_att, rejected = carry
+        return jnp.logical_and((t1 - t) * direction > 1e-10,
+                               n_att < max_steps)
+
+    def body(carry):
+        t, x, k1, h_abs, nfe, n_acc, n_att, rejected = carry
+        h_abs = jnp.minimum(h_abs, jnp.abs(t1 - t))  # never overshoot t1
+        h = (h_abs * direction).astype(jnp.float32)
+        hx = h.astype(x.dtype)
+
+        ks = [k1]
+        for c, arow in zip(_DP_C, _DP_A):
+            xs = x
+            for a, kk in zip(arow, ks):
+                xs = xs + (hx * a) * kk
+            ks.append(f(xs, t + c * h))
+        x_new = x
+        for b, kk in zip(_DP_B, ks):
+            x_new = x_new + (hx * b) * kk
+        k7 = f(x_new, t + h)
+        ks.append(k7)
+
+        err = jnp.zeros_like(x, jnp.float32)
+        for e, kk in zip(_DP_E, ks):
+            err = err + e * kk.astype(jnp.float32)
+        scale = atol + rtol * jnp.maximum(
+            jnp.abs(x.astype(jnp.float32)), jnp.abs(x_new.astype(jnp.float32))
+        )
+        err_norm = _rms(h * err / scale)
+
+        accept = err_norm <= 1.0
+        factor_grow = jnp.where(
+            err_norm == 0.0,
+            _RK_MAX_FACTOR,
+            jnp.minimum(_RK_MAX_FACTOR,
+                        _RK_SAFETY * err_norm ** _RK_ERR_EXP),
+        )
+        factor_grow = jnp.where(rejected, jnp.minimum(1.0, factor_grow),
+                                factor_grow)
+        factor_shrink = jnp.maximum(_RK_MIN_FACTOR,
+                                    _RK_SAFETY * err_norm ** _RK_ERR_EXP)
+        h_abs = h_abs * jnp.where(accept, factor_grow, factor_shrink)
+
+        t = jnp.where(accept, t + h, t)
+        x = jnp.where(accept, x_new, x)
+        k1 = jnp.where(accept, k7, k1)
+        return (t, x, k1, h_abs, nfe + 6, n_acc + accept.astype(jnp.int32),
+                n_att + 1, jnp.logical_not(accept))
+
+    carry = (t0, x0, f0, h_abs0, jnp.int32(2), jnp.int32(0), jnp.int32(0),
+             jnp.bool_(False))
+    t, x, _, _, nfe, n_acc, _, _ = jax.lax.while_loop(cond, body, carry)
+    return x, nfe, n_acc
+
+
 def pc_sample(
     key,
     sde,
@@ -154,6 +283,9 @@ def ode_sample(
     deep_fn: Optional[Callable] = None,
     cached_score_fn: Optional[Callable] = None,
     x_init=None,
+    rtol: float = 1e-5,
+    atol: float = 1e-5,
+    max_steps: int = 1000,
     **ignored_kwargs,
 ):
     """Probability-flow ODE sampling, fully on device.
@@ -176,6 +308,15 @@ def ode_sample(
     and only approximate the score term — the same quality needs markedly
     fewer score evaluations than Euler/Heun at these step counts. OUVE only
     (constant linear coefficient).
+
+    `method="rk45"` is the ADAPTIVE error-controlled integrator matching the
+    reference's scipy `solve_ivp(..., method='RK45', rtol, atol)` semantics
+    (sgmse/sampling/__init__.py:126-129): a Dormand-Prince 5(4) embedded
+    pair chooses its own step count per call under `lax.while_loop`, fully
+    on device (the reference round-trips device<->numpy per RHS eval). `N`
+    is ignored; `rtol`/`atol` control accuracy (reference defaults 1e-5);
+    `max_steps` bounds the attempt count. NFE is returned as a traced
+    scalar (data-dependent).
 
     `deepcache`: as in `pc_sample` — the deep-feature cache is refreshed at
     the step's own (x, t0) every `deepcache`-th step and every score
@@ -200,11 +341,15 @@ def ode_sample(
         raise ValueError(f"deepcache must be >= 0, got {deepcache}")
     if deepcache and (deep_fn is None or cached_score_fn is None):
         raise ValueError("deepcache > 0 requires deep_fn and cached_score_fn")
-    if deepcache and method == "etd2-ms":
+    if deepcache and method in ("etd2-ms", "rk45"):
         raise ValueError(
-            "deepcache does not support the multistep 'etd2-ms' method "
-            "(stale features would compound through the AB2 history); "
-            "use method='etd2'"
+            "deepcache does not support the "
+            + ("multistep 'etd2-ms' method (stale features would compound "
+               "through the AB2 history); use method='etd2'"
+               if method == "etd2-ms" else
+               "adaptive 'rk45' method (the error estimate would measure "
+               "cache staleness, not integration error, and drive the step "
+               "controller); use a fixed-step method")
         )
 
     key, kprior = jax.random.split(key)
@@ -318,10 +463,18 @@ def ode_sample(
             (x, _), _ = jax.lax.scan(ms_step, (x1, n1), 1 + jnp.arange(n - 1))
             nfe = 2 + (n - 1)
 
+    elif method == "rk45":
+        # adaptive: step count (and so NFE) is data-dependent; x0/ts are
+        # already set up above, so just hand the drift to the controller
+        x, nfe, _ = dopri45_integrate(
+            lambda xx, tt: drift(score_fn, xx, tt),
+            x0, float(sde.T), eps, rtol=rtol, atol=atol, max_steps=max_steps,
+        )
+
     else:
         raise ValueError(f"Unknown ODE method {method!r}")
 
-    if method != "etd2-ms":
+    if method not in ("etd2-ms", "rk45"):
         if deepcache:
             cache0 = deep_fn(
                 x0, jnp.full((batch,), ts[0], dtype=jnp.float32)
@@ -482,7 +635,8 @@ def get_ode_sampler(sde, score_fn, y, **kwargs):
             **{
                 k: v
                 for k, v in kwargs.items()
-                if k in ("N", "method", "denoise", "eps")
+                if k in ("N", "method", "denoise", "eps", "rtol", "atol",
+                         "max_steps")
             },
         )
 

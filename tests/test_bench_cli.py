@@ -9,6 +9,8 @@ import subprocess
 import sys
 
 import pytest
+pytestmark = pytest.mark.midweight  # CLI-subprocess e2e: cold jax import + trace per process
+
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -8,6 +8,8 @@ import sys
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.midweight  # CLI-subprocess e2e: cold jax import + trace per process
+
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -157,6 +157,7 @@ def main():
                 "batch": args.batch, "frames": args.frames,
                 "step_ms": round(wall * 1000, 1), "dtype": args.dtype,
                 "backend": jax.default_backend(),
+                "backbone": args.backbone,
             },
         }))
         return

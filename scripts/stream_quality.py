@@ -37,6 +37,14 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json", default=None)
+    ap.add_argument("--quant", default=None, choices=("int8",),
+                    help="serve both sides with W8A8 int8 (production "
+                    "serving config; calibrated on crops of the test noise)")
+    ap.add_argument("--quant_min_channels", type=int, default=128)
+    ap.add_argument("--deepcache", type=int, default=0,
+                    help="deep-feature cache refresh interval K "
+                    "(production default in bench.py is 3)")
+    ap.add_argument("--deepcache_depth", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -65,17 +73,39 @@ def main():
         y = (x + g * n).astype(np.float32)
         pairs.append((x.astype(np.float32), y))
 
+    quant = None
+    if args.quant == "int8":
+        from storm_tpu.models import quant as quant_mod
+
+        # calibrate on 8-s crops of the test noise (same trajectory-
+        # calibration recipe as nfe_quality.py; full 64-s rows would not
+        # fit the calibration batch in HBM)
+        hop = model.stft_config.hop_length
+        L = -(-8 * SR // (64 * hop)) * (64 * hop)
+        y_cal = np.stack([y[:L] for _, y in pairs[:4]]).astype(np.float32)
+        kcal = jax.random.PRNGKey(args.seed + 1)
+        quant = quant_mod.calibrate_storm(
+            model, params, y_cal, kcal, N=10,
+            min_channels=args.quant_min_channels)
+        n_q = sum(quant_mod.num_quantized_convs(v) for v in quant.values())
+        if n_q == 0:
+            raise SystemExit("--quant int8 quantized 0 convs; lower "
+                             "--quant_min_channels")
+        print(f"int8 calibration done ({n_q} convs quantized)")
+
+    serve_kw = dict(sampler_type="pc", N=args.N, corrector="none",
+                    quant=quant)
+    if args.deepcache:
+        serve_kw.update(deepcache=args.deepcache,
+                        deepcache_depth=args.deepcache_depth)
+
     # Streaming batches fixed-size chunks (minibatch=args.batch); the
     # whole-utterance side must run batch 1 — BucketedEnhancer row-pads
     # every call to `minibatch`, and 8 rows x 64 s does not fit in HBM.
-    enhancer = BucketedEnhancer(
-        model, params, minibatch=args.batch,
-        sampler_type="pc", N=args.N, corrector="none",
-    )
-    whole_enhancer = BucketedEnhancer(
-        model, params, minibatch=1,
-        sampler_type="pc", N=args.N, corrector="none",
-    )
+    enhancer = BucketedEnhancer(model, params, minibatch=args.batch,
+                                **serve_kw)
+    whole_enhancer = BucketedEnhancer(model, params, minibatch=1,
+                                      **serve_kw)
 
     rows = []
     key = jax.random.PRNGKey(args.seed)
@@ -108,6 +138,8 @@ def main():
     summary = {
         "dur_s": args.dur_s, "chunk_s": args.chunk_s,
         "overlap_s": args.overlap_s, "N": args.N,
+        "quant": args.quant, "deepcache": args.deepcache,
+        "deepcache_depth": args.deepcache_depth if args.deepcache else None,
         "noisy": [mean("noisy_sisdr"), mean("noisy_estoi")],
         "whole": [mean("whole_sisdr"), mean("whole_estoi")],
         "stream": [mean("stream_sisdr"), mean("stream_estoi")],

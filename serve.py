@@ -27,6 +27,14 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
+class _Server(ThreadingHTTPServer):
+    # socketserver's default listen backlog of 5 drops connections under
+    # bursty load (measured: resets at concurrency 32 in the round-4
+    # load test); batching servers expect deep connection queues
+    request_queue_size = 128
+    daemon_threads = True
+
+
 def build_argparser():
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", required=True)
@@ -100,6 +108,9 @@ def make_handler(batcher, info, model_sr=16000):
                 audio_s = s.pop("audio_samples") / model_sr
                 s["audio_s"] = round(audio_s, 3)
                 s["rtf"] = round(s["device_s"] / audio_s, 4) if audio_s else None
+                s["batch_fill"] = (round(s["batched_requests"]
+                                         / s["row_slots"], 4)
+                                   if s["row_slots"] else None)
                 self._json(200, s)
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
@@ -160,7 +171,7 @@ def build_server(args):
     from storm_tpu.models.factory import build_model
     from storm_tpu.utils.inference import BucketedEnhancer
     from storm_tpu.utils.jaxcache import enable_jax_compilation_cache
-    from storm_tpu.utils.server import DynamicBatcher
+    from storm_tpu.utils.server import DynamicBatcher, _default_row_sizes
     from storm_tpu.utils.serving import (calibrate_or_load_scales,
                                          load_gagnet_batch_stats)
 
@@ -197,8 +208,14 @@ def build_server(args):
             model_sr=model_sr,
         )
 
+    # Mesh modes pin one program shape (rows must divide the device
+    # count), so the enhancer row-pads internally via `minibatch`.
+    # Single-device serving leaves minibatch=None: the batcher owns row
+    # sizing (power-of-two ladder) so a lone request runs a 1-row
+    # program instead of paying for max_batch padded rows.
+    mesh_mode = args.data_parallel or args.seq_parallel > 1
     enhancer = BucketedEnhancer(
-        model, params, minibatch=args.batch,
+        model, params, minibatch=args.batch if mesh_mode else None,
         data_parallel=args.data_parallel, seq_parallel=args.seq_parallel,
         sampler_type=args.sampler, predictor=args.predictor,
         corrector=args.corrector, corrector_steps=args.corrector_steps,
@@ -206,28 +223,34 @@ def build_server(args):
         quant=quant, batch_stats=load_gagnet_batch_stats(args.ckpt, params),
         deepcache=args.deepcache, deepcache_depth=args.deepcache_depth,
     )
+    if mesh_mode:  # BucketedEnhancer may round minibatch up to the mesh
+        args.batch = enhancer.minibatch
+        row_sizes = [args.batch]
+    else:
+        row_sizes = _default_row_sizes(args.batch)
 
-    if args.warmup_s > 0:  # compile before the first request arrives
-        key, kw = jax.random.split(key)
+    if args.warmup_s > 0:
+        # compile the whole row ladder at the warmup bucket before
+        # accepting traffic (the persistent JAX compilation cache makes
+        # warm restarts cheap)
         D = int(config.get("spatial_channels", 1))
-        shape = (int(args.warmup_s * model_sr),)
-        if D > 1:
-            shape = (D,) + shape
-        enhancer(np.zeros(shape, np.float32), kw)
+        T = int(args.warmup_s * model_sr)
+        for rows in row_sizes:
+            key, kw = jax.random.split(key)
+            shape = (rows, D, T) if D > 1 else (rows, T)
+            enhancer(np.zeros(shape, np.float32), kw)
 
-    # mesh modes round the serving minibatch (see BucketedEnhancer);
-    # keep the batcher's coalescing bound in sync with the compiled shape
-    args.batch = enhancer.minibatch or args.batch
     batcher = DynamicBatcher(enhancer, key, max_batch=args.batch,
-                             max_wait_ms=args.max_wait_ms)
+                             max_wait_ms=args.max_wait_ms,
+                             row_sizes=row_sizes)
     info = {
         "mode": args.mode, "sampler": args.sampler, "N": args.N,
         "quant": args.quant or "none", "deepcache": args.deepcache,
         "batch": args.batch, "backend": jax.default_backend(),
         "spatial_channels": int(config.get("spatial_channels", 1)),
     }
-    httpd = ThreadingHTTPServer((args.host, args.port),
-                                make_handler(batcher, info, model_sr))
+    httpd = _Server((args.host, args.port),
+                    make_handler(batcher, info, model_sr))
     return httpd, batcher
 
 

@@ -2,13 +2,30 @@
 
 Beyond-reference (the reference enhances file-to-file from a CLI,
 enhancement.py:43-72). This module is the production counterpart:
-concurrent enhance requests are coalesced into padded-length-bucket
-batches, so the chip runs the same large batched program whose throughput
-is measured in BASELINE.md while per-request queueing latency stays
-bounded by ``max_wait_ms``. The device is owned by ONE dispatcher thread —
-callers block on an event, never touch JAX state, and the PRNG key chain
-is split only by the dispatcher, keeping the served noise stream
-deterministic for a given seed regardless of request arrival order.
+concurrent enhance requests are coalesced into batches so the chip runs
+the large batched programs whose throughput is measured in BASELINE.md
+while per-request queueing latency stays bounded by ``max_wait_ms``. The
+device is owned by ONE dispatcher thread — callers block on an event,
+never touch JAX state, and the PRNG key chain is split only by the
+dispatcher, keeping the served noise stream deterministic for a given
+seed regardless of request arrival order.
+
+Two batching decisions come straight from a measured real-chip load test
+(round 4, BASELINE.md "serving daemon"):
+
+- **Cross-bucket coalescing.** Per-length-bucket queues fragment mixed-
+  length traffic (mean batch fill 2.5/16 at concurrency 8 on a 4-bucket
+  corpus). One age-ordered queue is kept instead; a dispatch takes the
+  oldest request plus whatever else is pending — same length bucket
+  first, shorter next (they pad up), longer last — and pads everything
+  to the largest bucket taken. Padding a 2.6 s utterance to 4.1 s wastes
+  ≤ 40% of its rows' FLOPs; serving it alone in a 16-row program wastes
+  94%.
+- **Power-of-two row sizing.** A partial batch is padded to the next
+  allowed row count (1, 2, 4, …, max_batch) instead of always to
+  ``max_batch``, so a lone request costs a 1-row program, not a 16-row
+  one. Each (rows, bucket) shape compiles once and is reused (the
+  persistent JAX compilation cache keeps warm restarts cheap).
 
 `serve.py` wraps this in a stdlib HTTP front end; the batcher itself is
 transport-agnostic and unit-testable with a fake enhancer.
@@ -18,7 +35,7 @@ from __future__ import annotations
 import io
 import threading
 import time
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
@@ -34,29 +51,49 @@ class _Request:
         self.t_enqueue = time.monotonic()
 
 
-class DynamicBatcher:
-    """Coalesce concurrent enhance calls into per-bucket batches.
+def _default_row_sizes(max_batch: int) -> List[int]:
+    sizes, r = [], 1
+    while r < max_batch:
+        sizes.append(r)
+        r *= 2
+    sizes.append(max_batch)
+    return sizes
 
-    Dispatch policy: a bucket is flushed as soon as it holds ``max_batch``
-    requests, or when its oldest request has waited ``max_wait_ms`` —
-    the standard linger trade-off (throughput vs tail latency). Buckets
-    are served oldest-request-first so a rare length cannot be starved by
-    a hot one.
+
+class DynamicBatcher:
+    """Coalesce concurrent enhance calls into dynamic batches.
+
+    Dispatch policy: a batch is flushed as soon as ``max_batch`` requests
+    are pending (any lengths — they coalesce, see module docstring), or
+    when the oldest request has waited ``max_wait_ms`` — the standard
+    linger trade-off (throughput vs tail latency). The oldest request is
+    always in the dispatched batch, so no length can be starved.
+
+    ``row_sizes`` are the allowed compiled batch shapes (a partial batch
+    is zero-row-padded up to the smallest allowed size that fits);
+    default 1, 2, 4, …, ``max_batch``. Pass ``[max_batch]`` to pin a
+    single program shape (e.g. mesh-sharded serving, where the row count
+    must stay divisible by the device count).
     """
 
     def __init__(self, enhancer, key, max_batch: int = 8,
-                 max_wait_ms: float = 100.0):
+                 max_wait_ms: float = 100.0,
+                 row_sizes: Optional[List[int]] = None):
         self.enhancer = enhancer
         self.max_batch = max(1, int(max_batch))
         self.max_wait_s = max_wait_ms / 1e3
+        self.row_sizes = sorted(set(
+            int(r) for r in (row_sizes or _default_row_sizes(self.max_batch))
+            if 1 <= int(r) <= self.max_batch)) or [self.max_batch]
         self._key = key
-        self._pending: Dict[int, List[_Request]] = {}
+        self._pending: List[_Request] = []
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
         self._closed = False
         self.stats = {
             "requests": 0, "batches": 0, "batched_requests": 0,
-            "audio_samples": 0, "device_s": 0.0, "errors": 0,
+            "row_slots": 0, "audio_samples": 0, "device_s": 0.0,
+            "errors": 0,
         }
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="storm-tpu-batcher")
@@ -73,12 +110,11 @@ class DynamicBatcher:
         """
         y = np.asarray(y, np.float32)
         req = _Request(y)
-        bucket = self.enhancer.padded_len(y.shape[-1])
         with self._lock:
             if self._closed:
                 raise RuntimeError("batcher is closed")
             self.stats["requests"] += 1
-            self._pending.setdefault(bucket, []).append(req)
+            self._pending.append(req)
             self._wake.notify()
         if not req.event.wait(timeout):
             raise TimeoutError("enhance request timed out")
@@ -96,38 +132,34 @@ class DynamicBatcher:
 
     def _pick_locked(self) -> Optional[List[_Request]]:
         """Pop the batch to serve now, or None if nothing is due yet."""
-        now = time.monotonic()
-        best_bucket, best_age = None, -1.0
-        for bucket, reqs in self._pending.items():
-            if not reqs:
-                continue
-            age = now - reqs[0].t_enqueue
-            if len(reqs) >= self.max_batch:
-                age += 1e6  # full bucket: dispatch immediately
-            if age > best_age:
-                best_bucket, best_age = bucket, age
-        if best_bucket is None:
+        if not self._pending:
             return None
-        reqs = self._pending[best_bucket]
-        if len(reqs) < self.max_batch and best_age < self.max_wait_s:
-            return None  # linger
-        take = reqs[: self.max_batch]
-        rest = reqs[self.max_batch:]
-        if rest:
-            self._pending[best_bucket] = rest
-        else:
-            del self._pending[best_bucket]
+        age = time.monotonic() - self._pending[0].t_enqueue
+        if (len(self._pending) < self.max_batch
+                and age < self.max_wait_s and not self._closed):
+            return None  # linger for a fuller batch
+        head = self._pending[0]
+        head_bucket = self.enhancer.padded_len(head.y.shape[-1])
+
+        # fill the rest of the batch around the oldest request: exact
+        # bucket first (zero extra padding), shorter next (they pad up),
+        # longer last (they raise the whole batch's padded length)
+        def fill_rank(r: _Request):
+            b = self.enhancer.padded_len(r.y.shape[-1])
+            return (0 if b == head_bucket else (1 if b < head_bucket else 2),
+                    r.t_enqueue)
+
+        rest = sorted(self._pending[1:], key=fill_rank)
+        take = [head] + rest[: self.max_batch - 1]
+        taken = set(map(id, take))
+        self._pending = [r for r in self._pending if id(r) not in taken]
         return take
 
     def _next_deadline_locked(self) -> Optional[float]:
-        oldest = None
-        for reqs in self._pending.values():
-            if reqs:
-                t = reqs[0].t_enqueue
-                oldest = t if oldest is None else min(oldest, t)
-        if oldest is None:
+        if not self._pending:
             return None
-        return max(0.0, oldest + self.max_wait_s - time.monotonic())
+        return max(0.0, self._pending[0].t_enqueue + self.max_wait_s
+                   - time.monotonic())
 
     def _run(self):
         import jax
@@ -136,7 +168,7 @@ class DynamicBatcher:
             with self._lock:
                 batch = self._pick_locked()
                 while batch is None:
-                    if self._closed and not any(self._pending.values()):
+                    if self._closed and not self._pending:
                         return
                     self._wake.wait(timeout=self._next_deadline_locked())
                     batch = self._pick_locked()
@@ -150,13 +182,18 @@ class DynamicBatcher:
                            + [(0, padded - r.y.shape[-1])])
                     for r in batch
                 ])
+                rows = next(r for r in self.row_sizes if r >= len(batch))
+                if rows > len(batch):  # pad to an allowed compiled shape
+                    ys = np.pad(ys, [(0, rows - len(batch))]
+                                + [(0, 0)] * (ys.ndim - 1))
                 t0 = time.monotonic()
                 x_hats, nfe = self.enhancer(ys, k)
-                x_hats = np.asarray(x_hats)
+                x_hats = np.asarray(x_hats)[: len(batch)]
                 dt = time.monotonic() - t0
                 with self._lock:
                     self.stats["batches"] += 1
                     self.stats["batched_requests"] += len(batch)
+                    self.stats["row_slots"] += rows
                     self.stats["device_s"] += dt
                     self.stats["audio_samples"] += sum(
                         r.y.shape[-1] for r in batch

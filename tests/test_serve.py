@@ -84,11 +84,12 @@ def test_batcher_linger_dispatches_partial_batch():
         b.close()
 
 
-def test_batcher_separates_length_buckets():
+def test_batcher_coalesces_across_buckets():
+    """Mixed-length requests share one batch (shorter ones pad up)."""
     from storm_tpu.utils.server import DynamicBatcher
 
     enh = FakeEnhancer(delay_s=0.05)
-    b = DynamicBatcher(enh, jax.random.PRNGKey(0), max_batch=2,
+    b = DynamicBatcher(enh, jax.random.PRNGKey(0), max_batch=4,
                        max_wait_ms=2000.0)
     try:
         waves = [np.ones(40, np.float32), np.ones(200, np.float32),
@@ -96,7 +97,79 @@ def test_batcher_separates_length_buckets():
         outs = _submit_concurrently(b, waves)
         for y, (x, _) in zip(waves, outs):
             assert x.shape == y.shape
-        assert sorted(enh.calls) == [(2, 64), (2, 256)]
+        # one call, every request padded to the largest bucket taken
+        assert enh.calls == [(4, 256)]
+        assert b.stats["batches"] == 1
+        assert b.stats["batched_requests"] == 4
+    finally:
+        b.close()
+
+
+def test_batcher_prefers_same_bucket_fill():
+    """Fill around the oldest request favors its own length bucket."""
+    from storm_tpu.utils.server import DynamicBatcher
+
+    enh = FakeEnhancer(delay_s=0.4)
+    b = DynamicBatcher(enh, jax.random.PRNGKey(0), max_batch=2,
+                       max_wait_ms=50.0)
+    try:
+        waves = [np.ones(70, np.float32),   # prime: dispatched alone
+                 np.ones(40, np.float32),   # bucket 64 (head of batch 2)
+                 np.ones(200, np.float32),  # bucket 256 (skipped over)
+                 np.ones(50, np.float32)]   # bucket 64 (picked with head)
+        outs = [None] * len(waves)
+
+        def work(i):
+            outs[i] = b.submit(waves[i], timeout=30)
+
+        threads = [threading.Thread(target=work, args=(i,))
+                   for i in range(len(waves))]
+        # stagger arrivals: prime dispatches after the 50 ms linger, the
+        # next three queue up while the enhancer is busy for 400 ms
+        for t in threads:
+            t.start()
+            time.sleep(0.1)
+        for t in threads:
+            t.join(timeout=30)
+        for y, (x, _) in zip(waves, outs):
+            assert x.shape == y.shape
+        # batch 2 = the two bucket-64 requests (same-bucket fill beats
+        # FIFO), leaving the 256 request to its own exact-bucket batch
+        assert enh.calls == [(1, 128), (2, 64), (1, 256)]
+    finally:
+        b.close()
+
+
+def test_batcher_pads_rows_to_power_of_two():
+    """A partial batch compiles the next allowed row count, not max."""
+    from storm_tpu.utils.server import DynamicBatcher
+
+    enh = FakeEnhancer(delay_s=0.05)
+    b = DynamicBatcher(enh, jax.random.PRNGKey(0), max_batch=16,
+                       max_wait_ms=100.0)
+    try:
+        waves = [np.ones(40 + i, np.float32) for i in range(3)]
+        outs = _submit_concurrently(b, waves)
+        for y, (x, _) in zip(waves, outs):
+            assert x.shape == y.shape
+        assert enh.calls == [(4, 64)]  # 3 requests -> 4-row program
+        assert b.stats["row_slots"] == 4
+        assert b.stats["batched_requests"] == 3
+    finally:
+        b.close()
+
+
+def test_batcher_pinned_row_size():
+    """row_sizes=[max] keeps every program at the mesh-divisible shape."""
+    from storm_tpu.utils.server import DynamicBatcher
+
+    enh = FakeEnhancer()
+    b = DynamicBatcher(enh, jax.random.PRNGKey(0), max_batch=4,
+                       max_wait_ms=20.0, row_sizes=[4])
+    try:
+        x, _ = b.submit(np.ones(50, np.float32), timeout=10)
+        assert x.shape == (50,)
+        assert enh.calls == [(4, 64)]
     finally:
         b.close()
 

@@ -51,6 +51,17 @@ def build_argparser():
     p.add_argument("--warmup_s", type=float, default=0.0,
                    help="pre-compile the bucket covering this many seconds "
                    "of audio before accepting traffic (0 = lazy)")
+    p.add_argument("--warmup_buckets", default=None,
+                   help="comma-separated audio lengths in seconds to warm "
+                   "IN ADDITION to --warmup_s (e.g. '2.6,3.1,3.6'). The "
+                   "batcher pads each dispatch to the largest length bucket "
+                   "in the batch, so any (row, bucket) shape seen in traffic "
+                   "but not warmed compiles on first use mid-serving — warm "
+                   "the buckets your traffic actually spans")
+    p.add_argument("--row_sizes", default=None,
+                   help="comma-separated allowed batch row counts (default "
+                   "1,2,4,...,--batch). Fewer sizes = fewer compiled "
+                   "programs to warm, more padded rows at runtime")
     p.add_argument("--seed", type=int, default=0)
     # sampler/serving knobs, same names and defaults as enhancement.py
     p.add_argument("--sampler", choices=("pc", "ode"), default="pc")
@@ -226,19 +237,35 @@ def build_server(args):
     if mesh_mode:  # BucketedEnhancer may round minibatch up to the mesh
         args.batch = enhancer.minibatch
         row_sizes = [args.batch]
+    elif args.row_sizes:
+        row_sizes = sorted({int(r) for r in args.row_sizes.split(",")})
+        if row_sizes[0] < 1 or row_sizes[-1] > args.batch:
+            raise SystemExit(f"--row_sizes must lie in [1, {args.batch}]")
+        if row_sizes[-1] != args.batch:
+            row_sizes.append(args.batch)  # max_batch must be dispatchable
     else:
         row_sizes = _default_row_sizes(args.batch)
 
-    if args.warmup_s > 0:
-        # compile the whole row ladder at the warmup bucket before
-        # accepting traffic (the persistent JAX compilation cache makes
-        # warm restarts cheap)
+    warmup_s = [args.warmup_s] if args.warmup_s > 0 else []
+    if args.warmup_buckets:
+        warmup_s += [float(s) for s in args.warmup_buckets.split(",")]
+    if warmup_s:
+        # compile the row ladder at every warmup bucket before accepting
+        # traffic (the persistent JAX compilation cache makes warm
+        # restarts cheap). Dedup via the enhancer's own bucket rounding.
         D = int(config.get("spatial_channels", 1))
-        T = int(args.warmup_s * model_sr)
-        for rows in row_sizes:
-            key, kw = jax.random.split(key)
-            shape = (rows, D, T) if D > 1 else (rows, T)
-            enhancer(np.zeros(shape, np.float32), kw)
+        lens = sorted({enhancer.padded_len(int(s * model_sr))
+                       for s in warmup_s})
+        total = len(lens) * len(row_sizes)
+        done = 0
+        for T in lens:
+            for rows in row_sizes:
+                key, kw = jax.random.split(key)
+                shape = (rows, D, T) if D > 1 else (rows, T)
+                enhancer(np.zeros(shape, np.float32), kw)
+                done += 1
+                print(f"warmup {done}/{total}: rows={rows} "
+                      f"bucket={T / model_sr:.2f}s", flush=True)
 
     batcher = DynamicBatcher(enhancer, key, max_batch=args.batch,
                              max_wait_ms=args.max_wait_ms,

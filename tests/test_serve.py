@@ -229,6 +229,38 @@ def tiny_server(tmp_path_factory):
     batcher.close()
 
 
+def test_build_server_warmup_buckets_and_row_sizes(tmp_path):
+    """--warmup_buckets warms every (row, bucket) shape; --row_sizes bounds
+    the ladder (max_batch is always appended so full batches dispatch)."""
+    from storm_tpu.ckpt import save_checkpoint
+    from storm_tpu.models.factory import build_model
+
+    import serve
+
+    out = tmp_path / "ckpt"
+    config = {"mode": "regen-joint-training", "nf": 8, "ch_mult": [1, 1],
+              "image_size": 64, "sde": "ouve"}
+    model = build_model(dict(config))
+    state = model.init_state(jax.random.PRNGKey(0), (1, 256, 64))
+    save_checkpoint(str(out), state, config)
+
+    args = serve.build_argparser().parse_args([
+        "--ckpt", str(out), "--mode", "storm", "--N", "2",
+        "--corrector", "none", "--batch", "4", "--port", "0",
+        "--warmup_s", "0.5", "--warmup_buckets", "0.25,1.0",
+        "--row_sizes", "1,2",
+    ])
+    httpd, batcher = serve.build_server(args)
+    try:
+        assert batcher.row_sizes == [1, 2, 4]  # max_batch appended
+        # the bucket grid is 64 frames * hop 128 = 8192 samples: 0.25 s
+        # and 0.5 s dedup into the 8192 bucket, 1.0 s warms 16384
+        assert sorted(batcher.enhancer._cache) == [8192, 16384]
+    finally:
+        httpd.server_close()
+        batcher.close()
+
+
 def test_http_healthz_and_enhance(tiny_server):
     from storm_tpu.utils.server import decode_wav_bytes, encode_wav_bytes
 

@@ -39,6 +39,15 @@ CONFIGS = [
     ("ode etd1 N=10", dict(sampler_type="ode", N=10, method="etd1")),
     ("ode etd2-ms N=20", dict(sampler_type="ode", N=20, method="etd2-ms")),
     ("ode etd2-ms N=10", dict(sampler_type="ode", N=10, method="etd2-ms")),
+    # adaptive error-controlled integrator (VERDICT round-4 next #4): the
+    # reference ODE path's actual behavior (scipy solve_ivp RK45 at
+    # rtol=atol=1e-5, sgmse/sampling/__init__.py:126-129). NFE is
+    # self-chosen per utterance from the tolerance; the reported nfe column
+    # is the mean over eval batches.
+    ("ode rk45 tol=1e-5", dict(sampler_type="ode", N=30, method="rk45",
+                               rtol=1e-5, atol=1e-5)),
+    ("ode rk45 tol=1e-3", dict(sampler_type="ode", N=30, method="rk45",
+                               rtol=1e-3, atol=1e-3)),
 ]
 
 
@@ -144,7 +153,7 @@ def main():
         # pc + ode support the cache; etd2-ms/picard do not (samplers.py)
         configs = [(nm, kw) for nm, kw in configs
                    if kw.get("sampler_type") in ("pc", "ode")
-                   and kw.get("method") != "etd2-ms"]
+                   and kw.get("method") not in ("etd2-ms", "rk45")]
     if not configs:
         raise SystemExit(
             "no configs selected (--configs filter"

@@ -76,8 +76,14 @@ def main():
 
     stats1 = json.loads(urllib.request.urlopen(
         args.url + "/stats", timeout=60).read())
+    health = json.loads(urllib.request.urlopen(
+        args.url + "/healthz", timeout=60).read())
+    health.pop("status", None)
     audio_s = audio_bytes[0] / 2 / 16000
     lat.sort()
+    n_batches = stats1["batches"] - stats0["batches"]
+    row_slots = stats1["row_slots"] - stats0["row_slots"]
+    batched = stats1["batched_requests"] - stats0["batched_requests"]
     report = {
         "requests": len(lat),
         "concurrency": args.concurrency,
@@ -86,11 +92,14 @@ def main():
         "audio_s_per_s": round(audio_s / wall, 3),
         "latency_p50_s": round(lat[len(lat) // 2], 3),
         "latency_p95_s": round(lat[int(len(lat) * 0.95)], 3),
-        "server_batches": stats1["batches"] - stats0["batches"],
-        "mean_batch": round((stats1["batched_requests"]
-                             - stats0["batched_requests"])
-                            / max(1, stats1["batches"] - stats0["batches"]),
-                            2),
+        "server_batches": n_batches,
+        "mean_batch": round(batched / max(1, n_batches), 2),
+        # fraction of dispatched batch rows carrying a real request (the
+        # rest is row-ladder padding) — measured over THIS run only
+        "batch_fill": round(batched / row_slots, 4) if row_slots else None,
+        # serving configuration from the server itself, so this report is
+        # self-describing and reconcilable with bench.py rows
+        "server_config": health,
     }
     print(json.dumps(report))
     if args.json:

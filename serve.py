@@ -273,8 +273,20 @@ def build_server(args):
     info = {
         "mode": args.mode, "sampler": args.sampler, "N": args.N,
         "quant": args.quant or "none", "deepcache": args.deepcache,
+        "deepcache_depth": args.deepcache_depth,
         "batch": args.batch, "backend": jax.default_backend(),
         "spatial_channels": int(config.get("spatial_channels", 1)),
+        # full serving config so load-test reports are self-describing
+        # (VERDICT round-4 next #1): a reader must be able to reconcile a
+        # serve_load.py JSON with the bench.py row it corresponds to
+        "predictor": args.predictor, "corrector": args.corrector,
+        "corrector_steps": args.corrector_steps, "snr": args.snr,
+        "ode_method": args.ode_method if args.sampler == "ode" else None,
+        "row_sizes": row_sizes, "max_wait_ms": args.max_wait_ms,
+        "data_parallel": bool(args.data_parallel),
+        "seq_parallel": args.seq_parallel,
+        "backbone": config.get("backbone", "ncsnpp"),
+        "ckpt": os.path.abspath(args.ckpt),
     }
     httpd = _Server((args.host, args.port),
                     make_handler(batcher, info, model_sr))

@@ -67,6 +67,9 @@ def main():
                         "(reference default 1e-5)")
     parser.add_argument("--sweeps", type=int, default=8,
                         help="Picard iterations for --sampler picard")
+    parser.add_argument("--dtype", default="checkpoint",
+                    choices=("checkpoint", "float32", "bfloat16"),
+                    help="serving compute dtype override: bfloat16 is the production serving program (bench.py); default keeps the checkpoint training dtype (reference-exact)")
     parser.add_argument("--no-ema", action="store_true",
                         help="use raw instead of EMA parameters")
     parser.add_argument("--timeit", action="store_true",
@@ -147,6 +150,9 @@ def main():
         raise SystemExit(
             f"--mode {args.mode} incompatible with checkpoint mode {ckpt_mode}"
         )
+    config = dict(config)
+    if args.dtype != "checkpoint":
+        config["dtype"] = args.dtype
     model = build_model(dict(config))
     params = state.params if args.no_ema else state.ema_params
 

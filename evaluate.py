@@ -62,6 +62,9 @@ def main():
                     "pc/ode samplers (DeepCache-style, arXiv:2312.00858); "
                     "0 = off")
     ap.add_argument("--deepcache_depth", type=int, default=1)
+    ap.add_argument("--dtype", default="checkpoint",
+                choices=("checkpoint", "float32", "bfloat16"),
+                help="serving compute dtype override: bfloat16 is the production serving program (bench.py); default keeps the checkpoint training dtype (reference-exact)")
     ap.add_argument("--no-ema", action="store_true")
     ap.add_argument("--csv", default=None, help="write per-file metrics here")
     ap.add_argument("--wer", action="store_true",
@@ -93,6 +96,9 @@ def main():
     from storm_tpu.utils.stoi import stoi
 
     config, state = load_checkpoint(args.ckpt)
+    config = dict(config)
+    if args.dtype != "checkpoint":
+        config["dtype"] = args.dtype
     model = build_model(dict(config))
     params = state.params if args.no_ema else state.ema_params
 

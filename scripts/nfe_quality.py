@@ -78,6 +78,9 @@ def main():
                     help="deep-feature cache refresh interval for pc/ode "
                     "configs (DeepCache-style; etd2-ms and picard configs "
                     "are skipped when set — no cache support)")
+    ap.add_argument("--dtype", default="checkpoint",
+                choices=("checkpoint", "float32", "bfloat16"),
+                help="serving compute dtype override: bfloat16 is the production serving program (bench.py); default keeps the checkpoint training dtype (reference-exact)")
     ap.add_argument("--deepcache_depth", type=int, default=1)
     args = ap.parse_args()
 
@@ -95,6 +98,9 @@ def main():
     from storm_tpu.utils.stoi import stoi
 
     config, state = load_checkpoint(args.ckpt)
+    config = dict(config)
+    if args.dtype != "checkpoint":
+        config["dtype"] = args.dtype
     model = build_model(dict(config))
     params = state.ema_params
 

@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--deepcache", type=int, default=0,
                     help="deep-feature cache refresh interval K "
                     "(production default in bench.py is 3)")
+    ap.add_argument("--dtype", default="checkpoint",
+                choices=("checkpoint", "float32", "bfloat16"),
+                help="serving compute dtype override: bfloat16 is the production serving program (bench.py); default keeps the checkpoint training dtype (reference-exact)")
     ap.add_argument("--deepcache_depth", type=int, default=1)
     args = ap.parse_args()
 
@@ -61,6 +64,9 @@ def main():
     from storm_tpu.utils.streaming import stream_enhance
 
     config, state = load_checkpoint(args.ckpt)
+    config = dict(config)
+    if args.dtype != "checkpoint":
+        config["dtype"] = args.dtype
     model = build_model(dict(config))
     params = state.ema_params
 

@@ -82,6 +82,10 @@ def main():
                 choices=("checkpoint", "float32", "bfloat16"),
                 help="serving compute dtype override: bfloat16 is the production serving program (bench.py); default keeps the checkpoint training dtype (reference-exact)")
     ap.add_argument("--deepcache_depth", type=int, default=1)
+    ap.add_argument("--timeit", action="store_true",
+                    help="also measure steady-state audio-s/s per config "
+                    "(re-runs the batches once after the compile-absorbing "
+                    "quality pass)")
     args = ap.parse_args()
 
     import jax
@@ -204,15 +208,38 @@ def main():
         ))
         row = {"config": name, "nfe": int(nfe), "si_sdr": round(sisdr, 2),
                "estoi": round(estoi, 3), **kw}
+        if args.timeit:
+            # steady-state serving throughput for this config: the quality
+            # pass above absorbed every compile, so re-run the same batches
+            # timed (device sync via the np.asarray transfer)
+            import time as _time
+
+            t0 = _time.perf_counter()
+            audio = 0.0
+            for L, idxs in sorted(groups.items()):
+                batch = np.stack(
+                    [np.pad(ys[i], (0, L - len(ys[i]))) for i in idxs]
+                ).astype(np.float32)
+                key, k = jax.random.split(key)
+                xh, _ = enhancer(batch, k)
+                _ = np.asarray(xh)
+                audio += sum(len(ys[i]) for i in idxs) / 16000.0
+            row["audio_s_per_s"] = round(
+                audio / (_time.perf_counter() - t0), 2)
         results.append(row)
         print(f"{name:18s} nfe={nfe:4d}  SI-SDR {sisdr:6.2f} dB  "
-              f"ESTOI {estoi:.3f}")
+              f"ESTOI {estoi:.3f}"
+              + (f"  {row['audio_s_per_s']} audio-s/s"
+                 if "audio_s_per_s" in row else ""))
 
-    print("\n| config | NFE | SI-SDR (dB) | ESTOI |")
-    print("|---|---|---|---|")
-    print(f"| noisy input | — | {noisy_sisdr:.2f} | {noisy_estoi:.3f} |")
+    tcol = " audio-s/s |" if args.timeit else ""
+    print("\n| config | NFE | SI-SDR (dB) | ESTOI |" + tcol)
+    print("|---|---|---|---|" + ("---|" if tcol else ""))
+    print(f"| noisy input | — | {noisy_sisdr:.2f} | {noisy_estoi:.3f} |"
+          + (" — |" if tcol else ""))
     for r in results:
-        print(f"| {r['config']} | {r['nfe']} | {r['si_sdr']} | {r['estoi']} |")
+        print(f"| {r['config']} | {r['nfe']} | {r['si_sdr']} | {r['estoi']} |"
+              + (f" {r.get('audio_s_per_s', '—')} |" if tcol else ""))
 
     if args.json:
         with open(args.json, "w") as f:

@@ -238,21 +238,25 @@ def test_build_server_warmup_buckets_and_row_sizes(tmp_path):
     import serve
 
     out = tmp_path / "ckpt"
-    config = {"mode": "regen-joint-training", "nf": 8, "ch_mult": [1, 1],
-              "image_size": 64, "sde": "ouve"}
+    # minimal program: every warmed (row, bucket) shape is a real XLA
+    # compile, and the warmup/bucket semantics are mode-independent — use
+    # the discriminative model (one net pass, no sampler scan) so each of
+    # the 2x2 shapes compiles in seconds, not tens of seconds
+    config = {"mode": "denoiser-only", "nf": 4, "ch_mult": [1, 1],
+              "image_size": 64}
     model = build_model(dict(config))
     state = model.init_state(jax.random.PRNGKey(0), (1, 256, 64))
     save_checkpoint(str(out), state, config)
 
     args = serve.build_argparser().parse_args([
-        "--ckpt", str(out), "--mode", "storm", "--N", "2",
-        "--corrector", "none", "--batch", "4", "--port", "0",
+        "--ckpt", str(out), "--mode", "denoiser-only", "--N", "1",
+        "--corrector", "none", "--batch", "2", "--port", "0",
         "--warmup_s", "0.5", "--warmup_buckets", "0.25,1.0",
-        "--row_sizes", "1,2",
+        "--row_sizes", "1",
     ])
     httpd, batcher = serve.build_server(args)
     try:
-        assert batcher.row_sizes == [1, 2, 4]  # max_batch appended
+        assert batcher.row_sizes == [1, 2]  # max_batch appended
         # the bucket grid is 64 frames * hop 128 = 8192 samples: 0.25 s
         # and 0.5 s dedup into the 8192 bucket, 1.0 s warms 16384
         assert sorted(batcher.enhancer._cache) == [8192, 16384]

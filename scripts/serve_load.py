@@ -49,6 +49,8 @@ def main():
     audio_bytes = [0]
     idx = [0]
 
+    errors = [0]
+
     def worker():
         while True:
             with lock:
@@ -57,9 +59,17 @@ def main():
                 body = payloads[idx[0]]
                 idx[0] += 1
             t0 = time.perf_counter()
-            out = urllib.request.urlopen(urllib.request.Request(
-                args.url + "/enhance", data=body, method="POST"),
-                timeout=3600).read()
+            try:
+                out = urllib.request.urlopen(urllib.request.Request(
+                    args.url + "/enhance", data=body, method="POST"),
+                    timeout=3600).read()
+            except Exception:
+                # a draining/SIGTERM'd server refuses new connections:
+                # count it and keep the report for the requests that DID
+                # complete (the drain test depends on this)
+                with lock:
+                    errors[0] += 1
+                continue
             dt = time.perf_counter() - t0
             with lock:
                 lat.append(dt)
@@ -74,18 +84,26 @@ def main():
         t.join()
     wall = time.perf_counter() - t0
 
-    stats1 = json.loads(urllib.request.urlopen(
-        args.url + "/stats", timeout=60).read())
-    health = json.loads(urllib.request.urlopen(
-        args.url + "/healthz", timeout=60).read())
+    def _get_json(path):
+        try:
+            return json.loads(urllib.request.urlopen(
+                args.url + path, timeout=60).read())
+        except Exception:
+            return {}  # server already gone (drain test)
+
+    stats1 = _get_json("/stats") or dict(stats0)
+    health = _get_json("/healthz")
     health.pop("status", None)
     audio_s = audio_bytes[0] / 2 / 16000
+    if not lat:
+        raise SystemExit("no request completed; nothing to report")
     lat.sort()
     n_batches = stats1["batches"] - stats0["batches"]
     row_slots = stats1["row_slots"] - stats0["row_slots"]
     batched = stats1["batched_requests"] - stats0["batched_requests"]
     report = {
         "requests": len(lat),
+        "errors": errors[0],
         "concurrency": args.concurrency,
         "wall_s": round(wall, 3),
         "audio_s": round(audio_s, 2),

@@ -82,6 +82,14 @@ class BucketedEnhancer:
                 self.minibatch = -(-self.minibatch // n) * n
             self._data_sharding = NamedSharding(mesh, P("data"))
             self.params = jax.device_put(params, NamedSharding(mesh, P()))
+        else:
+            # commit the params to the device ONCE. Checkpoint restores
+            # produce host (numpy) arrays; passing those to the jitted
+            # enhance re-uploads the full ~220 MB parameter tree on EVERY
+            # call — a hidden 2-3 s/batch tax on serving (measured: the
+            # round-4/5 daemon ran 3.5x below bench.py's same-program
+            # number for exactly this reason)
+            self.params = jax.device_put(params)
 
     def padded_len(self, T: int) -> int:
         """Bucketed (compile-cache) input length for a T-sample utterance."""

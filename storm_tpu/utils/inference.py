@@ -95,6 +95,37 @@ class BucketedEnhancer:
         """Bucketed (compile-cache) input length for a T-sample utterance."""
         return -(-T // self.bucket_samples) * self.bucket_samples
 
+    @property
+    def supports_async(self) -> bool:
+        """True when enhance_async is available (single-device serving
+        path: no sequential minibatch chunking, no mesh sharding)."""
+        return self.minibatch is None and self._data_sharding is None
+
+    def enhance_async(self, y: np.ndarray, key):
+        """Dispatch one batched enhance WITHOUT waiting for the result.
+
+        Serving hot path (utils/server.py): JAX dispatch is asynchronous,
+        so this returns device arrays immediately and the dynamic batcher
+        can form/dispatch the next batch while this one executes —
+        device-side work overlaps host-side response delivery. The caller
+        finalizes with np.asarray (which blocks until the device is done).
+
+        ``y``: float32 (B, T) (or (B, D, T) multichannel), row count
+        already padded to a compiled shape. Returns (x_hat_dev, nfe_dev).
+        """
+        if not self.supports_async:
+            raise NotImplementedError(
+                "enhance_async requires minibatch=None and no mesh "
+                "sharding (single-device serving path)"
+            )
+        y = np.asarray(y, np.float32)
+        T = y.shape[-1]
+        padded = self.padded_len(T)
+        if padded != T:
+            y = np.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, padded - T)])
+        x_hat, nfe = self._get(padded)(self.params, y, key)
+        return x_hat, nfe
+
     def _get(self, padded_len: int):
         fn = self._cache.get(padded_len)
         if fn is None:

@@ -78,7 +78,8 @@ class DynamicBatcher:
 
     def __init__(self, enhancer, key, max_batch: int = 8,
                  max_wait_ms: float = 100.0,
-                 row_sizes: Optional[List[int]] = None):
+                 row_sizes: Optional[List[int]] = None,
+                 pipeline_depth: int = 2):
         self.enhancer = enhancer
         self.max_batch = max(1, int(max_batch))
         self.max_wait_s = max_wait_ms / 1e3
@@ -95,6 +96,25 @@ class DynamicBatcher:
             "row_slots": 0, "audio_samples": 0, "device_s": 0.0,
             "errors": 0,
         }
+        # Pipelined dispatch (when the enhancer supports async): the
+        # dispatcher enqueues device work and immediately forms the next
+        # batch; a finalizer thread blocks on each result and delivers
+        # responses. Device execution thus overlaps the host-side response
+        # write + client resubmit + linger that would otherwise serialize
+        # with it (measured ~0.7 s per 16-row batch cycle, BASELINE.md
+        # round-5 serving section). pipeline_depth bounds in-flight device
+        # batches (1 executing + depth-1 queued).
+        self._async = (pipeline_depth > 1
+                       and getattr(enhancer, "supports_async", False))
+        if self._async:
+            import queue as _queue
+
+            self._inflight = threading.Semaphore(pipeline_depth)
+            self._completions: "_queue.Queue" = _queue.Queue()
+            self._finalizer = threading.Thread(
+                target=self._finalize_loop, daemon=True,
+                name="storm-tpu-finalizer")
+            self._finalizer.start()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="storm-tpu-batcher")
         self._worker.start()
@@ -127,6 +147,9 @@ class DynamicBatcher:
             self._closed = True
             self._wake.notify()
         self._worker.join(timeout=30)
+        if self._async:
+            self._completions.put(None)  # after all dispatches are queued
+            self._finalizer.join(timeout=60)
 
     # -- dispatcher side --------------------------------------------------
 
@@ -186,27 +209,61 @@ class DynamicBatcher:
                 if rows > len(batch):  # pad to an allowed compiled shape
                     ys = np.pad(ys, [(0, rows - len(batch))]
                                 + [(0, 0)] * (ys.ndim - 1))
+                if self._async:
+                    self._inflight.acquire()  # bound queued device work
+                    try:
+                        t0 = time.monotonic()
+                        x_dev, nfe_dev = self.enhancer.enhance_async(ys, k)
+                        self._completions.put(
+                            (batch, rows, x_dev, nfe_dev, t0))
+                    except BaseException:
+                        self._inflight.release()
+                        raise
+                    continue
                 t0 = time.monotonic()
                 x_hats, nfe = self.enhancer(ys, k)
-                x_hats = np.asarray(x_hats)[: len(batch)]
-                dt = time.monotonic() - t0
-                with self._lock:
-                    self.stats["batches"] += 1
-                    self.stats["batched_requests"] += len(batch)
-                    self.stats["row_slots"] += rows
-                    self.stats["device_s"] += dt
-                    self.stats["audio_samples"] += sum(
-                        r.y.shape[-1] for r in batch
-                    )
-                for r, x_hat in zip(batch, x_hats):
-                    r.result = (x_hat[..., : r.y.shape[-1]], int(nfe))
-                    r.event.set()
-            except BaseException as e:  # propagate to every waiter
-                with self._lock:
-                    self.stats["errors"] += len(batch)
-                for r in batch:
-                    r.error = e
-                    r.event.set()
+                self._deliver(batch, rows, np.asarray(x_hats), int(nfe), t0)
+            except BaseException as e:
+                self._fail(batch, e)
+
+    def _deliver(self, batch, rows, x_hats, nfe, t0):
+        dt = time.monotonic() - t0
+        with self._lock:
+            self.stats["batches"] += 1
+            self.stats["batched_requests"] += len(batch)
+            self.stats["row_slots"] += rows
+            self.stats["device_s"] += dt
+            self.stats["audio_samples"] += sum(
+                r.y.shape[-1] for r in batch
+            )
+        for r, x_hat in zip(batch, x_hats[: len(batch)]):
+            r.result = (x_hat[..., : r.y.shape[-1]], nfe)
+            r.event.set()
+
+    def _fail(self, batch, e: BaseException):  # propagate to every waiter
+        with self._lock:
+            self.stats["errors"] += len(batch)
+        for r in batch:
+            r.error = e
+            r.event.set()
+
+    def _finalize_loop(self):
+        """Blocks on each in-flight device batch (FIFO) and delivers its
+        responses while the dispatcher keeps the device fed."""
+        while True:
+            item = self._completions.get()
+            if item is None:
+                return
+            batch, rows, x_dev, nfe_dev, t0 = item
+            try:
+                # np.asarray is the device sync point (block_until_ready
+                # is unreliable on the tunneled backend)
+                x_hats = np.asarray(x_dev)
+                self._deliver(batch, rows, x_hats, int(nfe_dev), t0)
+            except BaseException as e:
+                self._fail(batch, e)
+            finally:
+                self._inflight.release()
 
 
 # -- WAV bytes codec (HTTP payloads) --------------------------------------

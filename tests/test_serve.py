@@ -48,6 +48,89 @@ def _submit_concurrently(batcher, waves):
     return outs
 
 
+class _SlowResult:
+    """Device-array stand-in whose materialization (np.asarray ->
+    __array__) blocks, like a still-executing TPU batch."""
+
+    def __init__(self, value, delay_s):
+        self._value = value
+        self._delay_s = delay_s
+
+    def __array__(self, dtype=None, copy=None):
+        time.sleep(self._delay_s)
+        return np.asarray(self._value, dtype)
+
+
+class FakeAsyncEnhancer(FakeEnhancer):
+    """Async-capable double: dispatch returns immediately; the result
+    blocks at np.asarray. Records dispatch timestamps to prove the
+    batcher pipelines (dispatch N+1 before N's result is consumed)."""
+
+    supports_async = True
+
+    def __init__(self, bucket=64, device_s=0.1):
+        super().__init__(bucket)
+        self.device_s = device_s
+        self.dispatch_t = []
+
+    def enhance_async(self, ys, key):
+        self.calls.append(ys.shape)
+        self.dispatch_t.append(time.monotonic())
+        return _SlowResult(2.0 * ys, self.device_s), 7
+
+
+def test_batcher_pipelines_async_dispatch():
+    """With an async enhancer, batch N+1 is dispatched while batch N is
+    still 'executing' (its result not yet materialized), and every caller
+    still gets its own exact-length result."""
+    from storm_tpu.utils.server import DynamicBatcher
+
+    enh = FakeAsyncEnhancer(device_s=0.15)
+    b = DynamicBatcher(enh, jax.random.PRNGKey(0), max_batch=2,
+                       max_wait_ms=10.0, pipeline_depth=2)
+    try:
+        waves = [np.full(100 + i, 0.5, np.float32) for i in range(6)]
+        outs = _submit_concurrently(b, waves)
+        for y, (x, nfe) in zip(waves, outs):
+            assert x.shape == y.shape and nfe == 7
+            np.testing.assert_allclose(x, 2.0 * y)
+        assert b.stats["batches"] == len(enh.dispatch_t)
+        assert b.stats["batched_requests"] == 6
+        assert b.stats["errors"] == 0
+        # pipelining proof: at least one dispatch gap is shorter than the
+        # fake device time (the serial batcher could never go below it)
+        gaps = [b - a for a, b in zip(enh.dispatch_t, enh.dispatch_t[1:])]
+        assert gaps and min(gaps) < enh.device_s
+    finally:
+        b.close()
+
+
+def test_batcher_async_propagates_finalize_errors():
+    from storm_tpu.utils.server import DynamicBatcher
+
+    class Boom(_SlowResult):
+        def __array__(self, dtype=None, copy=None):
+            raise RuntimeError("device exploded")
+
+    class FailingAsync(FakeAsyncEnhancer):
+        def enhance_async(self, ys, key):
+            self.calls.append(ys.shape)
+            return Boom(None, 0.0), 7
+
+    enh = FailingAsync()
+    b = DynamicBatcher(enh, jax.random.PRNGKey(0), max_batch=2,
+                       max_wait_ms=10.0)
+    try:
+        with pytest.raises(RuntimeError, match="device exploded"):
+            b.submit(np.zeros(50, np.float32), timeout=10)
+        assert b.stats["errors"] == 1
+        # the batcher survives: a follow-up healthy submit still fails in
+        # enhance (same fake) but the worker/finalizer threads are alive
+        assert b._worker.is_alive() and b._finalizer.is_alive()
+    finally:
+        b.close()
+
+
 def test_batcher_coalesces_full_bucket():
     from storm_tpu.utils.server import DynamicBatcher
 

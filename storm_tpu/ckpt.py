@@ -124,7 +124,25 @@ def load_meta(path: str) -> Optional[dict]:
 
 def load_config(path: str) -> dict:
     with open(os.path.join(os.path.abspath(path), "config.json")) as f:
-        return json.load(f)
+        config = json.load(f)
+    # A config written by train.py records the signal-processing fields
+    # (train.py `_CONFIG_KEYS`); a hand-written/truncated one silently
+    # rebuilds the model at ctor defaults (e.g. spec_factor 0.15 vs the
+    # training CLI's 0.33) and serves garbage with no error. Warn loudly.
+    missing = [k for k in ("n_fft", "hop_length", "window", "spec_factor",
+                           "spec_abs_exponent") if k not in config]
+    if missing:
+        import warnings
+
+        warnings.warn(
+            f"checkpoint config {path} lacks {missing}; the model will be "
+            "rebuilt with constructor defaults for these — if training "
+            "used different values (train.py defaults differ: e.g. "
+            "spec_factor 0.33 vs ctor 0.15), enhancement output will be "
+            "silently wrong",
+            stacklevel=2,
+        )
+    return config
 
 
 def load_checkpoint(

@@ -19,3 +19,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# The same persistent XLA compile cache the CLIs use (utils/jaxcache.py):
+# the suite's cost is dominated by tiny-model XLA compiles, which are
+# identical run to run — repeat suite runs on a developer host skip them.
+# Disable with STORM_TPU_JAX_CACHE=0 for a cold-compile timing run.
+from storm_tpu.utils.jaxcache import enable_jax_compilation_cache  # noqa: E402
+
+enable_jax_compilation_cache()

@@ -66,3 +66,33 @@ def test_async_error_propagates(tmp_path):
         mgr.wait()
     # error is consumed: manager is usable again afterwards
     mgr.wait()
+
+
+def test_load_config_warns_on_truncated_config(tmp_path):
+    """A config.json missing the signal-processing fields train.py records
+    (n_fft/hop/window/spec_factor/...) must warn: the model would silently
+    rebuild at ctor defaults (spec_factor 0.15 vs the training CLI's 0.33)
+    and serve garbage — the round-5 ckpt_prod incident."""
+    import json
+    import warnings
+
+    from storm_tpu.ckpt import load_config
+
+    p = tmp_path / "ckpt"
+    p.mkdir()
+    (p / "config.json").write_text(
+        json.dumps({"mode": "regen-joint-training", "sde": "ouve"}))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        load_config(str(p))
+    assert any("spec_factor" in str(x.message) for x in w)
+
+    (p / "config.json").write_text(json.dumps({
+        "mode": "regen-joint-training", "sde": "ouve", "n_fft": 510,
+        "hop_length": 128, "window": "hann", "spec_factor": 0.33,
+        "spec_abs_exponent": 0.5,
+    }))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        load_config(str(p))
+    assert not w

@@ -42,6 +42,8 @@ def test_sp_enhancer_matches_unsharded():
     np.testing.assert_allclose(x0, x1, atol=1e-4)
 
 
+@pytest.mark.midweight  # composition-of-features check; core keeps the
+# sp-vs-unsharded equality and the score-model sp path
 def test_sp_composes_with_dp():
     model, params = _storm()
     kw = dict(N=2, corrector="none", bucket_frames=16, minibatch=2)
@@ -57,6 +59,7 @@ def test_sp_composes_with_dp():
     np.testing.assert_allclose(x0, x1, atol=1e-4)
 
 
+@pytest.mark.midweight  # composition-of-features check (see above)
 def test_sp_composes_with_deepcache():
     model, params = _storm()
     kw = dict(N=4, corrector="none", bucket_frames=16, minibatch=1,

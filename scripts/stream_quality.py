@@ -48,6 +48,10 @@ def main():
                 choices=("checkpoint", "float32", "bfloat16"),
                 help="serving compute dtype override: bfloat16 is the production serving program (bench.py); default keeps the checkpoint training dtype (reference-exact)")
     ap.add_argument("--deepcache_depth", type=int, default=1)
+    ap.add_argument("--timeit", action="store_true",
+                    help="also measure steady-state chunked-serving "
+                    "throughput (audio-s/s): re-streams every file once "
+                    "after the quality pass absorbed all compiles")
     args = ap.parse_args()
 
     import jax
@@ -141,6 +145,28 @@ def main():
     def mean(k):
         return float(np.mean([r[k] for r in rows]))
 
+    stream_tput = None
+    if args.timeit:
+        # the quality loop above absorbed every (row, bucket) compile; this
+        # pass re-streams the same audio timed (np.asarray = device sync)
+        import time as _time
+
+        key_t = jax.random.PRNGKey(args.seed + 2)
+        t0 = _time.perf_counter()
+        audio = 0.0
+        for x, y in pairs:
+            key_t, k = jax.random.split(key_t)
+            xs_t, _ = stream_enhance(
+                enhancer, y, k,
+                chunk_samples=int(args.chunk_s * SR),
+                overlap_samples=int(args.overlap_s * SR),
+                max_batch=args.batch,
+            )
+            _ = np.asarray(xs_t)
+            audio += len(x) / SR
+        stream_tput = round(audio / (_time.perf_counter() - t0), 2)
+        print(f"chunked-serving throughput: {stream_tput} audio-s/s")
+
     summary = {
         "dur_s": args.dur_s, "chunk_s": args.chunk_s,
         "overlap_s": args.overlap_s, "N": args.N,
@@ -151,6 +177,7 @@ def main():
         "stream": [mean("stream_sisdr"), mean("stream_estoi")],
         "delta_sisdr": mean("stream_sisdr") - mean("whole_sisdr"),
         "delta_estoi": mean("stream_estoi") - mean("whole_estoi"),
+        "stream_audio_s_per_s": stream_tput,
     }
     print("SUMMARY " + json.dumps(summary))
     if args.json:

@@ -413,6 +413,9 @@ def test_ref_score_step_loss(ref_model_mod, sde_name, sde_kw):
     np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
 
 
+@pytest.mark.midweight  # ~2.5 min: the reference-side scipy RK45 at 1e-7
+# dominates and is not compile-cacheable. The core loop keeps the stronger
+# step-for-step PC parity e2e below plus the rk45 endpoint-agreement tests.
 def test_ref_enhance_end_to_end(ref_model_mod):
     """FULL inference-pipeline parity: this framework's jitted `enhance`
     (normalize -> STFT -> compress -> pad -> reverse probability-flow ODE

@@ -174,7 +174,15 @@ def main():
         from storm_tpu.models.distill import DistilledModel
 
         dmodel = DistilledModel(storm=model)
-        enhance2 = dmodel.make_enhance()
+        dquant = None
+        if args.quant == "int8":
+            from storm_tpu.models.quant import (calibrate_distill,
+                                                num_quantized_convs)
+            dquant = calibrate_distill(dmodel, params, y[:4],
+                                       jax.random.PRNGKey(7))
+            nq = {k: num_quantized_convs(v) for k, v in dquant.items()}
+            print(f"int8-quantized convs (distill): {nq}", file=sys.stderr)
+        enhance2 = dmodel.make_enhance(quant=dquant)
         x_hat, nfe = enhance2(params, y, key)
         _ = np.asarray(x_hat)
         times = []
@@ -194,6 +202,7 @@ def main():
             "detail": {
                 "batch": args.batch, "nfe": int(nfe),
                 "wall_s": round(wall, 4), "dtype": args.dtype,
+                "quant": args.quant,
                 "backend": jax.default_backend(),
             },
         }))

@@ -180,12 +180,6 @@ def main():
         return y[0]
 
     quant = None
-    if args.quant == "int8" and args.mode == "distill":
-        raise SystemExit(
-            "--quant int8 is not supported with --mode distill (the "
-            "one-step student has no trajectory to calibrate; NFE is "
-            "already 2)"
-        )
     if args.quant == "int8":
         from storm_tpu.utils.serving import calibrate_or_load_scales
 

@@ -123,12 +123,6 @@ def main():
     D = getattr(model, "spatial_channels", 1)
 
     quant = None
-    if args.quant == "int8" and args.mode == "distill":
-        raise SystemExit(
-            "--quant int8 is not supported with --mode distill (the "
-            "one-step student has no trajectory to calibrate; NFE is "
-            "already 2)"
-        )
     if args.quant == "int8":
         def _calib_waves():
             waves = []

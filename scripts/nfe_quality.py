@@ -140,6 +140,9 @@ def main():
         elif mode == "score-only":
             quant = quant_mod.calibrate_score_model(
                 model, params, y_cal, kcal, N=10, min_channels=mc)
+        elif mode == "distill":
+            quant = quant_mod.calibrate_distill(
+                model, params, y_cal, kcal, min_channels=mc)
         else:
             quant = quant_mod.calibrate_discriminative(model, params, y_cal,
                                                        min_channels=mc)

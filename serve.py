@@ -205,12 +205,6 @@ def build_server(args):
     key = jax.random.PRNGKey(args.seed)
 
     quant = None
-    if args.quant == "int8" and args.mode == "distill":
-        raise SystemExit(
-            "--quant int8 is not supported with --mode distill (the "
-            "one-step student has no trajectory to calibrate; NFE is "
-            "already 2)"
-        )
     if args.quant == "int8":
         from storm_tpu.data.audio import load_wav
 

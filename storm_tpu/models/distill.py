@@ -134,7 +134,8 @@ class DistilledModel:
                 "does this from --teacher_ckpt)"
             )
 
-    def _student_x0(self, params, x_T, cond, std_T, y_denoised):
+    def _student_x0(self, params, x_T, cond, std_T, y_denoised,
+                    quant=None):
         """One-evaluation x0 prediction (posterior-mean parameterization).
 
         m_hat = x_T + sigma^2 * score is Tweedie's estimate of the marginal
@@ -144,7 +145,7 @@ class DistilledModel:
         """
         B = x_T.shape[0]
         t = jnp.full((B,), self.sde.T, jnp.float32)
-        s = self.storm.forward_score(params, x_T, t, cond)
+        s = self.storm.forward_score(params, x_T, t, cond, quant=quant)
         m_hat = x_T + right_pad_dims(std_T, x_T) ** 2 * s
         fac = _mean_factor(self.sde, self.sde.T)
         return y_denoised + (m_hat - y_denoised) / fac
@@ -239,16 +240,21 @@ class DistilledModel:
         """Jitted 2-evaluation enhancement: denoiser, then the one-step
         student map. Sampler knobs (N/corrector/...) are accepted and
         ignored so the shared serving stack (BucketedEnhancer) can drive
-        distilled checkpoints unchanged; int8/deepcache are diffusion-
-        trajectory features and are rejected explicitly.
+        distilled checkpoints unchanged. `quant` takes a scale tree from
+        `models.quant.calibrate_distill` (the student sees exactly one
+        diffusion state — the prior at t=T — so its calibration probes
+        that state, not a trajectory); deepcache is a cross-step feature
+        and stays rejected (there is no second step to reuse a cache).
         """
-        if quant is not None or deepcache:
+        if deepcache:
             raise ValueError(
-                "distilled serving does not support --quant/--deepcache "
-                "(there is no trajectory to quantize-calibrate or cache; "
+                "distilled serving does not support --deepcache (there is "
+                "no trajectory whose steps could share cached features; "
                 "NFE is already 2)"
             )
         del num_samples, batch_stats
+        quant_d = quant.get("denoiser") if quant else None
+        quant_s = quant.get("score") if quant else None
         from .base import spec_sharding_constraint
 
         constrain = spec_sharding_constraint(mesh, mesh_axes)
@@ -259,14 +265,16 @@ class DistilledModel:
             y_n, norm = normalize_wav(y)
             Y, _ = prepare_spec(y_n, self.stft_config, self.transform)
             Y = constrain(Y)
-            Y_denoised = self.storm.forward_denoiser(params, Y)
+            Y_denoised = self.storm.forward_denoiser(params, Y,
+                                                     quant=quant_d)
             B = Y.shape[0]
             t_T = jnp.full((B,), self.sde.T, jnp.float32)
             std_T = self.sde.marginal_prob(Y, t_T, Y_denoised)[1]
             z = cplx.complex_normal(key, Y.shape[:-1])
             x_T = constrain(Y_denoised + right_pad_dims(std_T, Y) * z)
             cond = self.storm._conditioning(Y, Y_denoised)
-            x0 = self._student_x0(params, x_T, cond, std_T, Y_denoised)
+            x0 = self._student_x0(params, x_T, cond, std_T, Y_denoised,
+                                  quant=quant_s)
             x_hat = spec_to_wav(
                 x0, self.stft_config, self.transform, length=T_orig
             )

@@ -267,6 +267,57 @@ def calibrate_score_model(
     return scales_from_stats(stats, params, min_channels, margin)
 
 
+def calibrate_distill(
+    model, params, y, key, num_probe: int = 4,
+    min_channels: int = 128, margin: float = 1.0,
+) -> Dict[str, Any]:
+    """Calibrate int8 activation scales for one-step distilled serving.
+
+    Unlike the trajectory calibration above, the distilled student sees
+    exactly ONE diffusion state per request: the prior state
+    x_T = D(y) + sigma(T) z at t=T (models/distill.py make_enhance). So
+    calibration probes the denoiser forward once and the student score
+    evaluation at `num_probe` prior draws (fresh z each), which covers the
+    entire input distribution the quantized nets will ever see.
+
+    `model`: a DistilledModel. Returns {"denoiser": tree|None,
+    "score": tree|None} for `DistilledModel.make_enhance(quant=...)`.
+    """
+    from ..signal import cplx
+    from ..utils.tensors import right_pad_dims
+    from .base import normalize_wav, prepare_spec
+
+    storm = model.storm
+    y_n, _ = normalize_wav(jnp.asarray(y, jnp.float32))
+    Y, _ = prepare_spec(y_n, storm.stft_config, storm.transform)
+
+    Y_denoised, stats_d = jax.jit(
+        lambda Y_: storm.forward_denoiser(params, Y_, collect_stats=True)
+    )(Y)
+
+    B = Y.shape[0]
+    t_T = jnp.full((B,), storm.sde.T, jnp.float32)
+    std_T = storm.sde.marginal_prob(Y, t_T, Y_denoised)[1]
+    cond = storm._conditioning(Y, Y_denoised)
+
+    probe_fn = jax.jit(lambda x_T: storm.forward_score(
+        params, x_T, t_T, cond, collect_stats=True)[1])
+    stats_s = None
+    for k in jax.random.split(key, max(1, num_probe)):
+        z = cplx.complex_normal(k, Y.shape[:-1])
+        x_T = Y_denoised + right_pad_dims(std_T, Y) * z
+        stats_s = merge_stats(stats_s, probe_fn(x_T))
+
+    return {
+        "denoiser": scales_from_stats(
+            stats_d, params.get("denoiser", {}), min_channels, margin
+        ),
+        "score": scales_from_stats(
+            stats_s, params.get("score", {}), min_channels, margin
+        ),
+    }
+
+
 def calibrate_discriminative(
     model, params, y, min_channels: int = 128, margin: float = 1.0,
 ) -> Optional[Dict]:

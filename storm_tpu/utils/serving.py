@@ -96,6 +96,11 @@ def calibrate_or_load_scales(
         quant = quant_mod.calibrate_score_model(
             model, params, y_cal, key, N=min(N, 10),
             min_channels=min_channels)
+    elif mode == "distill":
+        # one-step student: calibration probes the single diffusion state
+        # it serves at (the prior at t=T), not a trajectory
+        quant = quant_mod.calibrate_distill(
+            model, params, y_cal, key, min_channels=min_channels)
     else:
         quant = quant_mod.calibrate_discriminative(
             model, params, y_cal, min_channels=min_channels)

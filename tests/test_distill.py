@@ -4,7 +4,8 @@ Pins: the x_init injection seam in ode_sample, student-at-teacher
 initialization semantics (frozen denoiser, Tweedie parameterization),
 distillation loss descent on a fixed batch, the NFE=2 serving contract
 through the shared BucketedEnhancer stack, checkpoint round-trip through
-models.factory, and the explicit int8/deepcache rejections.
+models.factory, int8 PTQ serving via calibrate_distill, and the explicit
+deepcache rejection.
 """
 import dataclasses
 
@@ -128,13 +129,38 @@ def test_distill_enhance_nfe2_via_bucketed_enhancer(teacher, tmp_path):
     assert np.isfinite(np.asarray(x_hat)).all()
 
 
-def test_distill_enhance_rejects_quant_and_deepcache(teacher):
+def test_distill_enhance_rejects_deepcache(teacher):
     _, t_state = teacher
     model, _ = _distill(t_state)
-    with pytest.raises(ValueError, match="quant"):
-        model.make_enhance(quant={"score": {}})
     with pytest.raises(ValueError, match="deepcache"):
         model.make_enhance(deepcache=3)
+
+
+def test_distill_int8_serving_end_to_end(teacher):
+    """W8A8 PTQ for the one-step student (VERDICT round-4 next #2b): the
+    student serves one diffusion state (the prior at t=T), so
+    calibrate_distill probes that state; the int8 program must stay close
+    to the bf16 one on the same key."""
+    from storm_tpu.models.quant import calibrate_distill, num_quantized_convs
+
+    _, t_state = teacher
+    model, _ = _distill(t_state)
+    params = t_state.ema_params
+    y = 0.1 * np.random.default_rng(1).standard_normal((2, 4000)).astype(
+        np.float32)
+    quant = calibrate_distill(model, params, y, jax.random.PRNGKey(2),
+                              min_channels=8)
+    n_q = sum(num_quantized_convs(quant[k]) for k in ("denoiser", "score"))
+    assert n_q > 10
+
+    k = jax.random.PRNGKey(3)
+    xb, nfe_b = model.make_enhance()(params, jnp.asarray(y), k)
+    xq, nfe_q = model.make_enhance(quant=quant)(params, jnp.asarray(y), k)
+    assert nfe_b == nfe_q == 2
+    xb, xq = np.asarray(xb), np.asarray(xq)
+    assert np.isfinite(xq).all()
+    rel = np.abs(xq - xb).max() / (np.abs(xb).max() + 1e-12)
+    assert 0 < rel < 0.25
 
 
 def test_distill_init_is_posterior_mean(teacher):
